@@ -1,0 +1,54 @@
+"""Solver / pipeline configuration.
+
+Mirrors the reference's ``optparam`` struct (reference: utilities.h:46-61)
+so that reference experiment configurations are directly reproducible:
+``lv_f lv_l psz maxiter normdp_ratio donorm dopatchnorm`` with the derived
+fields ``pszd2 = psz/2``, ``novals = psz*psz``
+(reference: run_io_reprojection_test.cpp:112-127).
+
+All fields are static (hashable) so an ``ICGNParams`` can be closed over by
+``jax.jit`` without retracing churn; there is no ``maxpttrack`` — capacity
+is simply the array length N of the (fixed-shape) point batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ICGNParams:
+    """Static configuration of the IC-GN pose tracker.
+
+    Canonical reference defaults (KITTI-ish):
+    ``lv_f=4 lv_l=0 psz=8 maxiter=10 normdp_ratio=0.01 donorm=True``
+    (reference: run_odometer_test.m:232, run_ransac_test.m:98-106).
+    """
+
+    lv_f: int = 4            # coarsest pyramid level (level 0 = full res)
+    lv_l: int = 0            # finest pyramid level used
+    psz: int = 8             # patch size (pixels, square)
+    maxiter: int = 10        # max GN iterations per level
+    normdp_ratio: float = 0.01  # stop when |dp|_1 / |dp_first|_1 <= ratio
+    donorm: bool = True      # zero-mean/variance normalize cloud + pose
+    dopatchnorm: bool = False  # subtract patch mean before residuals
+    verbosity: int = 0
+
+    @property
+    def pszd2(self) -> int:
+        return self.psz // 2
+
+    @property
+    def novals(self) -> int:
+        return self.psz * self.psz
+
+    @property
+    def num_levels(self) -> int:
+        """Number of pyramid levels that must exist (0..lv_f)."""
+        return self.lv_f + 1
+
+    def __post_init__(self):
+        if self.psz % 2 != 0:
+            raise ValueError(f"psz must be even, got {self.psz}")
+        if not (0 <= self.lv_l <= self.lv_f):
+            raise ValueError(f"need 0 <= lv_l <= lv_f, got {self.lv_l}, {self.lv_f}")
