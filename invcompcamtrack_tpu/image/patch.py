@@ -1,0 +1,108 @@
+"""Batched sub-pixel patch extraction.
+
+Behavioral spec (reference: utilities.cpp:55-189):
+
+A ``psz x psz`` patch around sub-pixel center ``mid`` (in *unpadded*
+image coordinates) samples the image bilinearly at positions
+``mid + (dx, dy) - psz/2`` for ``dx, dy in [0, psz)``.  Because the patch
+grid is axis-aligned (no rotation/scale), the 4-tap bilinear weight
+vector is constant across the patch:
+
+    u0 = ceil(mid_x + 1e-5), rx = mid_x - floor(mid_x)
+    w = [rx*ry, (1-rx)*ry, rx*(1-ry), (1-rx)*(1-ry)]
+    patch[dy,dx] = w0*I[v,u] + w1*I[v,u-1] + w2*I[v-1,u] + w3*I[v-1,u-1]
+    with (u, v) = (u0 + dx - psz/2, v0 + dy - psz/2)   [+ padding offset]
+
+The reference walks 4 shifted pointer rows; here each patch is one
+``(psz+1, psz+1)`` dynamic-slice window combined with 4 shifted views —
+a layout XLA turns into an efficient batched gather, and the same
+formulation the Pallas kernel (ops/patch_pallas.py) uses per-tile.
+
+Optional mean normalization subtracts the patch mean of the *intensity*
+plane only (reference: utilities.cpp:111-112, 186-188).
+
+Out-of-image centers are NOT handled here — callers must mask with
+``pose.in_frustum`` (the reference checks the frustum before calling;
+`jax.lax.dynamic_slice` clamps, so invalid centers produce garbage
+values, never OOB access).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _bilinear_base(centers: jnp.ndarray, psz: int, padding: int):
+    """Per-point window origin (row, col) and the 4 constant weights."""
+    x = centers[..., 0]
+    y = centers[..., 1]
+    u0 = jnp.ceil(x + 1e-5).astype(jnp.int32)
+    v0 = jnp.ceil(y + 1e-5).astype(jnp.int32)
+    rx = x - jnp.floor(x)
+    ry = y - jnp.floor(y)
+    w00 = rx * ry          # I[v, u]
+    w01 = (1.0 - rx) * ry  # I[v, u-1]
+    w10 = rx * (1.0 - ry)  # I[v-1, u]
+    w11 = (1.0 - rx) * (1.0 - ry)
+    row0 = v0 - psz // 2 - 1 + padding
+    col0 = u0 - psz // 2 - 1 + padding
+    return row0, col0, (w00, w01, w10, w11)
+
+
+def _combine(window: jnp.ndarray, w):
+    """window: (..., psz+1, psz+1) -> (..., psz, psz)."""
+    w00, w01, w10, w11 = w
+    return (
+        w00[..., None, None] * window[..., 1:, 1:]
+        + w01[..., None, None] * window[..., 1:, :-1]
+        + w10[..., None, None] * window[..., :-1, 1:]
+        + w11[..., None, None] * window[..., :-1, :-1]
+    )
+
+
+def _slice_windows(img: jnp.ndarray, row0: jnp.ndarray, col0: jnp.ndarray, psz: int):
+    """Gather (N, psz+1, psz+1) windows from a single 2D image."""
+
+    def one(r, c):
+        return jax.lax.dynamic_slice(img, (r, c), (psz + 1, psz + 1))
+
+    return jax.vmap(one)(row0, col0)
+
+
+def extract_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
+                    padding: int, patch_norm: bool = False) -> jnp.ndarray:
+    """img: (Hp, Wp) padded; centers: (N, 2) unpadded coords -> (N, psz, psz).
+
+    Equivalent of the reference's ``util_getPatch`` over a point batch.
+    """
+    row0, col0, w = _bilinear_base(centers, psz, padding)
+    windows = _slice_windows(img, row0, col0, psz)
+    patches = _combine(windows, w)
+    if patch_norm:
+        patches = patches - jnp.mean(patches, axis=(-2, -1), keepdims=True)
+    return patches
+
+
+def extract_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
+                         centers: jnp.ndarray, psz: int, padding: int,
+                         patch_norm: bool = False):
+    """One-pass (I, dI/dx, dI/dy) patch gather sharing indices/weights
+    (reference: util_getPatch_grad, utilities.cpp:115-189).
+
+    Returns three (N, psz, psz) arrays; mean-normalization applies to the
+    intensity plane only.
+    """
+    row0, col0, w = _bilinear_base(centers, psz, padding)
+    planes = jnp.stack([img, dx, dy])  # (3, Hp, Wp)
+
+    def one(r, c):
+        zero = jnp.zeros((), dtype=r.dtype)
+        return jax.lax.dynamic_slice(planes, (zero, r, c), (3, psz + 1, psz + 1))
+
+    windows = jax.vmap(one)(row0, col0)  # (N, 3, psz+1, psz+1)
+    patches = _combine(windows, tuple(x[..., None] for x in w))
+    p_img, p_dx, p_dy = patches[:, 0], patches[:, 1], patches[:, 2]
+    if patch_norm:
+        p_img = p_img - jnp.mean(p_img, axis=(-2, -1), keepdims=True)
+    return p_img, p_dx, p_dy

@@ -1,0 +1,1 @@
+from invcompcamtrack_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: F401

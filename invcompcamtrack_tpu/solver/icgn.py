@@ -1,0 +1,238 @@
+"""Inverse-compositional Gauss-Newton 6-DoF pose refinement.
+
+The TPU re-design of the reference's ``OdometerClass`` hot path
+(reference: odometer.cpp:257-515, call stack documented in SURVEY.md §3.1).
+Differences from the C++ are *structural*, not semantic:
+
+- per-point pointer loops become ``(N, ...)`` tensor ops; the 6
+  steepest-descent planes become one ``(N, 6, psz*psz)`` tensor,
+- the 21-term Hessian accumulation becomes a single ``S S^T`` matmul on
+  the MXU (reference: odometer.cpp:428-507),
+- the memset-padding tricks become explicit validity masks.  In
+  particular, points outside the frustum get **zeroed** steepest-descent
+  entries, where the reference kept *stale values from the coarser scale*
+  (reference: odometer.cpp:302-328 vs :580-609) — a quirk documented in
+  SURVEY.md §3.1 that we deliberately fix; test
+  ``test_icgn.py::test_masking_semantics`` pins the new behavior,
+- the data-dependent iteration count (reference: odometer.cpp:344-345)
+  becomes a ``lax.while_loop`` with the same predicate
+  ``(it < maxiter) & (normdp/normdp_init > normdp_ratio)``; under vmap
+  XLA converts it to a masked fixed-point loop automatically,
+- the pose update stays **additive in coefficient space** followed by
+  re-exponentiation (reference: pose.cpp:116-129) — NOT group
+  composition — because trajectory parity requires it.
+
+Everything is a pure function of its inputs; scale count, patch size and
+iteration bound are static (from ``ICGNParams``), so one compilation
+serves a whole sequence.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from invcompcamtrack_tpu.config import ICGNParams
+from invcompcamtrack_tpu.core import lie
+from invcompcamtrack_tpu.core import pose as pose_ops
+from invcompcamtrack_tpu.core.camera import CameraPyramid
+from invcompcamtrack_tpu.image.patch import extract_patches, extract_patches_grad
+from invcompcamtrack_tpu.image.pyramid import Pyramid
+
+_PREC = jax.lax.Precision.HIGHEST
+
+# The reference seeds both norm trackers with 1e-10 so the ratio test is
+# exactly 1 on entry -> the first iteration always runs for ratio < 1
+# (reference: odometer.cpp:341-345).
+_NORMDP_INIT = 1e-10
+
+
+class ICGNAux(NamedTuple):
+    """Per-scale diagnostics (coarse -> fine order)."""
+
+    iters: jnp.ndarray        # (S,) iterations executed per scale
+    normdp: jnp.ndarray       # (S,) final |dp|_1 per scale
+    valid_ref: jnp.ndarray    # (S,) number of in-frustum reference points
+
+
+def steepest_descent_images(p_dx, p_dy, Xc, fx, fy):
+    """Build the 6 steepest-descent planes from gradient patches and
+    camera-frame points (reference: odometer.cpp:302-328).
+
+    p_dx, p_dy: (N, psz, psz) gradient patches at the reference view.
+    Xc: (N, 3) points rotated into the reference camera frame.
+    Returns (N, 6, psz, psz).
+
+    Pinhole Jacobian (focal lengths folded in; reference comment
+    odometer.cpp:314-315):
+      J = [ fx/z, 0,    -fx x/z^2, -fx x y/z^2,      fx(1 + x^2/z^2), -fx y/z ]
+          [ 0,    fy/z, -fy y/z^2, -fy(1 + y^2/z^2), fy x y/z^2,       fy x/z ]
+    sd_k = J[0,k] * p_dx + J[1,k] * p_dy.
+    """
+    x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+    zsq = z * z
+    jx = jnp.stack(
+        [
+            fx / z,
+            jnp.zeros_like(z),
+            -x / zsq * fx,
+            -x * y / zsq * fx,
+            (1.0 + x * x / zsq) * fx,
+            -y / z * fx,
+        ],
+        axis=-1,
+    )  # (N, 6)
+    jy = jnp.stack(
+        [
+            jnp.zeros_like(z),
+            fy / z,
+            -y / zsq * fy,
+            -(1.0 + y * y / zsq) * fy,
+            x * y / zsq * fy,
+            x / z * fy,
+        ],
+        axis=-1,
+    )
+    return (
+        jx[..., :, None, None] * p_dx[..., None, :, :]
+        + jy[..., :, None, None] * p_dy[..., None, :, :]
+    )
+
+
+def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
+                     cfg: ICGNParams):
+    """Run the GN iterations of one pyramid scale; returns updated pose."""
+    fx, fy, cx, cy, swo, sho = cam_level
+    N = Xn.shape[0]
+    npix = cfg.novals
+
+    # [4] reference patches + gradients, frustum mask
+    valid_ref = pose_ops.in_frustum(uv_ref, swo, sho)
+    p_img, p_dx, p_dy = extract_patches_grad(
+        level_ref.img, level_ref.dx, level_ref.dy, uv_ref, cfg.psz,
+        cam_level_padding(cfg), patch_norm=cfg.dopatchnorm,
+    )
+    # [5] steepest-descent images, masked (explicit-zero semantics)
+    sd = steepest_descent_images(p_dx, p_dy, Xc_ref, fx, fy)
+    sd = sd * valid_ref[:, None, None, None].astype(sd.dtype)
+    sd_flat = sd.reshape(N, 6, npix)
+
+    # [6] 6x6 Hessian: one MXU matmul over all (point, pixel) pairs
+    S = jnp.swapaxes(sd_flat, 0, 1).reshape(6, N * npix)
+    H = jnp.matmul(S, S.T, precision=_PREC)
+
+    ref_flat = (p_img * valid_ref[:, None, None].astype(p_img.dtype)).reshape(N, npix)
+
+    def cond(state):
+        it, _p, _G, normdp, normdp_init = state
+        return (it < cfg.maxiter) & ((normdp / normdp_init) > cfg.normdp_ratio)
+
+    def body(state):
+        it, p_cur, G_cur, normdp, normdp_init = state
+        # [7] project with current pose
+        uv_new = pose_ops.project_points(G_cur, Xn, fx, fy, cx, cy)
+        valid_new = pose_ops.in_frustum(uv_new, swo, sho) & valid_ref
+        # [8] query patches + error image
+        q = extract_patches(
+            level_new.img, uv_new, cfg.psz, cam_level_padding(cfg),
+            patch_norm=cfg.dopatchnorm,
+        ).reshape(N, npix)
+        pdiff = (ref_flat - q) * valid_new[:, None].astype(q.dtype)
+        # [9a] rhs_k = sum_{n,p} sd[n,k,p] * pdiff[n,p]
+        rhs = jnp.einsum("nkp,np->k", sd_flat, pdiff, precision=_PREC)
+        # [9b] solve 6x6 normal equations (reference used fullPivLu)
+        delta = jnp.linalg.solve(H, rhs)
+        # [10] additive coefficient update + re-exponentiation
+        p_next = p_cur + delta
+        G_next = lie.se3_exp(p_next)
+        ndp = jnp.sum(jnp.abs(delta))
+        ndp_init = jnp.where(it == 0, ndp, normdp_init)
+        return (it + 1, p_next, G_next, ndp, ndp_init)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        p,
+        lie.se3_exp(p),
+        jnp.asarray(_NORMDP_INIT, p.dtype),
+        jnp.asarray(_NORMDP_INIT, p.dtype),
+    )
+    it, p_out, _G, normdp, _ = jax.lax.while_loop(cond, body, init)
+    return p_out, (it, normdp, jnp.sum(valid_ref))
+
+
+def cam_level_padding(cfg: ICGNParams) -> int:
+    """Pyramid levels are padded by psz (reference: imgpadding = psz,
+    run_io_reprojection_test.cpp:157)."""
+    return cfg.psz
+
+
+def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
+               p_init: jnp.ndarray, cam: CameraPyramid, cfg: ICGNParams,
+               return_aux: bool = False):
+    """Track the 6-DoF pose aligning reference patches to the new image.
+
+    pyr_ref/pyr_new: pyramids with >= cfg.lv_f + 1 levels, padded by psz.
+    X: (N, 3) world points (visible in the reference view).
+    p_init: (6,) initial pose, se(3) coefficients of [R | t] world->cam.
+    Returns the refined pose (and optional per-scale diagnostics).
+
+    The full equivalent of Set3Dpoints + SetPose + TrackPose
+    (reference: odometer.cpp:171-426).
+    """
+    dtype = p_init.dtype
+    X = X.astype(dtype)
+
+    if cfg.donorm:
+        Xn, mean, varval = pose_ops.normalize_points(X)
+        p = pose_ops.normalize_pose(p_init, mean, varval)
+    else:
+        Xn, mean, varval = X, None, None
+        p = p_init
+
+    # [2/3] initial reprojection per scale; camera-frame points are
+    # computed ONCE at the initial pose and reused for all scales'
+    # Jacobians — the inverse-compositional approximation
+    # (reference: odometer.cpp:241-255).
+    G0 = lie.se3_exp(p)
+    Xc_ref = pose_ops.transform_points(G0, Xn)
+    uv_ref = {}
+    for s in range(cfg.lv_l, cfg.lv_f + 1):
+        fx, fy, cx, cy, _, _ = cam.level(s)
+        uv_ref[s] = pose_ops.project_points(G0, Xn, fx, fy, cx, cy)
+
+    iters, normdps, validcnt = [], [], []
+    for s in range(cfg.lv_f, cfg.lv_l - 1, -1):  # coarse -> fine
+        p, (it, ndp, vc) = _track_one_scale(
+            pyr_ref[s], pyr_new[s], Xn, Xc_ref, uv_ref[s], p, cam.level(s), cfg
+        )
+        iters.append(it)
+        normdps.append(ndp)
+        validcnt.append(vc)
+
+    if cfg.donorm:
+        p = pose_ops.unnormalize_pose(p, mean, varval)
+
+    if return_aux:
+        aux = ICGNAux(
+            iters=jnp.stack(iters),
+            normdp=jnp.stack(normdps),
+            valid_ref=jnp.stack(validcnt),
+        )
+        return p, aux
+    return p
+
+
+def track_pose_batch(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
+                     p_init: jnp.ndarray, cam: CameraPyramid, cfg: ICGNParams):
+    """Batched tracking: shared image pair, per-sample point sets + poses.
+
+    X: (B, N, 3); p_init: (B, 6) -> (B, 6).
+
+    This replaces the reference's sequential loop over RANSAC pose
+    samples (reference: run_track_nposes.cpp:193) with one device batch.
+    """
+    return jax.vmap(
+        lambda Xb, pb: track_pose(pyr_ref, pyr_new, Xb, pb, cam, cfg)
+    )(X, p_init)
