@@ -1,0 +1,168 @@
+"""Sliding-window bundle adjustment via Schur-complement reduction.
+
+The reference never shipped BA — it is an explicit TODO
+("BA Adjust cameras and static points", reference:
+misc_src/run_test_OF_track.py:449-451); its closest machinery is
+per-point LM refinement (triang.c) and multi-step smoothing
+(run_3DPoint_triangulation_error_test.ipynb cell 1).  This module is the
+designed-from-scratch completion of that TODO, shaped for TPU:
+
+- the observation set is a dense ``(K poses, L landmarks)`` grid with a
+  boolean mask (fixed shapes; missing observations contribute zeros),
+- per-observation Jacobians come from forward-mode AD of the same
+  projection + se(3) code the tracker uses (exact, no hand-derived
+  block formulas to maintain),
+- the landmark blocks ``H_ll`` are L independent 3x3 systems inverted in
+  closed form; the reduced camera system
+  ``S = H_pp - H_pl H_ll^{-1} H_lp`` is a dense (6K, 6K) solve — K is a
+  *window*, so 6K stays small (<= ~100) and the whole step is einsums
+  feeding the MXU,
+- Levenberg damping with accept/reject, gauge freedom removed by a
+  ``fixed_pose_mask``.
+
+The landmark axis L is the natural shard axis for multi-device runs
+(see ba/distributed.py): every landmark-indexed contraction becomes a
+local partial + one psum of (6K + 6K x 6K) sized reductions.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from invcompcamtrack_tpu.core import lie
+from invcompcamtrack_tpu.sfm.triangulate import sym3x3_inverse
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    poses: jnp.ndarray        # (K, 6) se(3) coeffs, x_cam = R X + t
+    landmarks: jnp.ndarray    # (L, 3)
+    obs: jnp.ndarray          # (K, L, 2) pixel observations
+    mask: jnp.ndarray         # (K, L) bool
+    fx: jnp.ndarray           # scalars (shared intrinsics)
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    fixed_pose_mask: jnp.ndarray  # (K,) bool — True = pose held fixed
+
+
+def _project_one(p, X, fx, fy, cx, cy):
+    G = lie.se3_exp(p)
+    Xc = G[:, :3] @ X + G[:, 3]
+    return jnp.stack([Xc[0] / Xc[2] * fx + cx, Xc[1] / Xc[2] * fy + cy])
+
+
+def ba_residuals(prob: BAProblem):
+    """(K, L, 2) masked residuals obs - proj and the mean squared error."""
+    proj = jax.vmap(
+        lambda p: jax.vmap(
+            lambda X: _project_one(p, X, prob.fx, prob.fy, prob.cx, prob.cy)
+        )(prob.landmarks)
+    )(prob.poses)
+    res = (prob.obs - proj) * prob.mask[..., None]
+    cnt = jnp.maximum(jnp.sum(prob.mask), 1)
+    return res, jnp.sum(res * res) / (2.0 * cnt)
+
+
+def _jacobians(prob: BAProblem):
+    """J_p: (K, L, 2, 6); J_x: (K, L, 2, 3) — forward-mode AD, masked."""
+
+    def f(p, X):
+        return _project_one(p, X, prob.fx, prob.fy, prob.cx, prob.cy)
+
+    jp, jx = jax.vmap(
+        lambda p: jax.vmap(lambda X: jax.jacfwd(f, argnums=(0, 1))(p, X))(
+            prob.landmarks
+        )
+    )(prob.poses)
+    m = prob.mask[..., None, None]
+    return jp * m, jx * m
+
+
+def _schur_step(prob: BAProblem, damp):
+    """One damped GN step via Schur elimination of the landmarks.
+
+    Returns (dpose (K,6), dlm (L,3)).
+    """
+    K, L = prob.mask.shape
+    res, _ = ba_residuals(prob)
+    Jp, Jx = _jacobians(prob)
+
+    # zero Jacobians of fixed poses => their update is exactly 0 and the
+    # damped diagonal keeps S invertible
+    Jp = Jp * (~prob.fixed_pose_mask)[:, None, None, None]
+
+    # blocks
+    Hpp = jnp.einsum("klri,klrj->kij", Jp, Jp, precision=_PREC)        # (K,6,6)
+    Hxx = jnp.einsum("klri,klrj->lij", Jx, Jx, precision=_PREC)        # (L,3,3)
+    Hpx = jnp.einsum("klri,klrj->klij", Jp, Jx, precision=_PREC)       # (K,L,6,3)
+    bp = jnp.einsum("klri,klr->ki", Jp, res, precision=_PREC)          # (K,6)
+    bx = jnp.einsum("klri,klr->li", Jx, res, precision=_PREC)          # (L,3)
+
+    # Levenberg damping on both diagonals
+    eyeK = jnp.eye(6, dtype=res.dtype)
+    eyeL = jnp.eye(3, dtype=res.dtype)
+    Hpp = Hpp + damp * eyeK * jnp.maximum(
+        jnp.diagonal(Hpp, axis1=-2, axis2=-1), 1e-8
+    )[..., None, :] * eyeK
+    Hxx = Hxx + damp * eyeL * jnp.maximum(
+        jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-8
+    )[..., None, :] * eyeL
+
+    Hxx_inv = sym3x3_inverse(Hxx)  # (L,3,3)
+
+    # Schur complement: S = Hpp - sum_l Hpx Hxx^-1 Hxp
+    W = jnp.einsum("klij,ljm->klim", Hpx, Hxx_inv, precision=_PREC)    # (K,L,6,3)
+    S_off = jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC)     # (K,6,K,6)
+    S = -S_off
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
+    rhs = bp - jnp.einsum("klim,lm->ki", W, bx, precision=_PREC)       # (K,6)
+
+    # keep fixed poses' rows/cols well-conditioned (their J is zero)
+    fixed = prob.fixed_pose_mask
+    diag_boost = (fixed.astype(res.dtype))[:, None] * jnp.ones(6, res.dtype)
+    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+        jnp.eye(6, dtype=res.dtype) * diag_boost[..., None, :] * jnp.eye(6, dtype=res.dtype)
+    )
+
+    dpose = jnp.linalg.solve(S.reshape(6 * K, 6 * K), rhs.reshape(-1)).reshape(K, 6)
+    dpose = dpose * (~fixed)[:, None]
+
+    # back-substitute landmarks: dx = Hxx^-1 (bx - Hxp dpose)
+    t = bx - jnp.einsum("klij,ki->lj", Hpx, dpose, precision=_PREC)
+    dlm = jnp.einsum("lij,lj->li", Hxx_inv, t, precision=_PREC)
+    return dpose, dlm
+
+
+def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
+             damp_up: float = 10.0, damp_down: float = 10.0):
+    """Levenberg-Marquardt loop with accept/reject on the total error.
+
+    Returns (poses, landmarks, info) with info = (final msq, initial msq).
+    """
+
+    def step(carry, _):
+        poses, lms, damp, err = carry
+        p0 = prob._replace(poses=poses, landmarks=lms)
+        dpose, dlm = _schur_step(p0, damp)
+        cand = prob._replace(poses=poses + dpose, landmarks=lms + dlm)
+        _, err_new = ba_residuals(cand)
+        ok = err_new < err
+        poses = jnp.where(ok, cand.poses, poses)
+        lms = jnp.where(ok, cand.landmarks, lms)
+        damp = jnp.where(ok, damp / damp_down, damp * damp_up)
+        err = jnp.where(ok, err_new, err)
+        return (poses, lms, damp, err), err
+
+    _, err0 = ba_residuals(prob)
+    (poses, lms, _, err), _ = jax.lax.scan(
+        step,
+        (prob.poses, prob.landmarks, jnp.asarray(damp_init, prob.poses.dtype), err0),
+        None,
+        length=num_iters,
+    )
+    return poses, lms, (err, err0)

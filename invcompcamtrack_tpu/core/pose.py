@@ -26,16 +26,31 @@ from invcompcamtrack_tpu.core import lie
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def normalize_points(X: jnp.ndarray):
+def normalize_points(X: jnp.ndarray, mask: jnp.ndarray | None = None):
     """Zero-mean + variance-scale a point cloud.
 
     X: (..., N, 3)  ->  (Xn, mean, varval) with
     ``varval = mean_i ||X_i - mean||^2`` and ``Xn = (X - mean)/varval``
     (divide by varval, NOT sqrt(varval): reference odometer.cpp:184-226).
+
+    An optional boolean ``mask`` (..., N) restricts the statistics to the
+    selected points (the fixed-shape equivalent of the reference's
+    per-sample inlier gather, run_track_nposes.cpp:207-213); masked-out
+    rows are still normalized with the selected statistics.
     """
-    mean = jnp.mean(X, axis=-2, keepdims=True)
-    centered = X - mean
-    varval = jnp.mean(jnp.sum(centered * centered, axis=-1), axis=-1)
+    if mask is None:
+        mean = jnp.mean(X, axis=-2, keepdims=True)
+        centered = X - mean
+        varval = jnp.mean(jnp.sum(centered * centered, axis=-1), axis=-1)
+    else:
+        m = mask[..., None].astype(X.dtype)
+        cnt = jnp.maximum(jnp.sum(m, axis=-2, keepdims=True), 1.0)
+        mean = jnp.sum(X * m, axis=-2, keepdims=True) / cnt
+        centered = X - mean
+        varval = (
+            jnp.sum(jnp.sum(centered * centered, axis=-1) * m[..., 0], axis=-1)
+            / cnt[..., 0, 0]
+        )
     Xn = centered / varval[..., None, None]
     return Xn, mean[..., 0, :], varval
 

@@ -102,14 +102,17 @@ def steepest_descent_images(p_dx, p_dy, Xc, fx, fy):
 
 
 def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
-                     cfg: ICGNParams):
+                     cfg: ICGNParams, point_mask=None):
     """Run the GN iterations of one pyramid scale; returns updated pose."""
     fx, fy, cx, cy, swo, sho = cam_level
     N = Xn.shape[0]
     npix = cfg.novals
 
-    # [4] reference patches + gradients, frustum mask
+    # [4] reference patches + gradients, frustum mask (+ optional
+    # per-point selection mask, the RANSAC-inlier-subset equivalent)
     valid_ref = pose_ops.in_frustum(uv_ref, swo, sho)
+    if point_mask is not None:
+        valid_ref = valid_ref & point_mask
     p_img, p_dx, p_dy = extract_patches_grad(
         level_ref.img, level_ref.dx, level_ref.dy, uv_ref, cfg.psz,
         cam_level_padding(cfg), patch_norm=cfg.dopatchnorm,
@@ -170,6 +173,7 @@ def cam_level_padding(cfg: ICGNParams) -> int:
 
 def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
                p_init: jnp.ndarray, cam: CameraPyramid, cfg: ICGNParams,
+               point_mask: jnp.ndarray | None = None,
                return_aux: bool = False):
     """Track the 6-DoF pose aligning reference patches to the new image.
 
@@ -185,7 +189,7 @@ def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
     X = X.astype(dtype)
 
     if cfg.donorm:
-        Xn, mean, varval = pose_ops.normalize_points(X)
+        Xn, mean, varval = pose_ops.normalize_points(X, mask=point_mask)
         p = pose_ops.normalize_pose(p_init, mean, varval)
     else:
         Xn, mean, varval = X, None, None
@@ -205,7 +209,8 @@ def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
     iters, normdps, validcnt = [], [], []
     for s in range(cfg.lv_f, cfg.lv_l - 1, -1):  # coarse -> fine
         p, (it, ndp, vc) = _track_one_scale(
-            pyr_ref[s], pyr_new[s], Xn, Xc_ref, uv_ref[s], p, cam.level(s), cfg
+            pyr_ref[s], pyr_new[s], Xn, Xc_ref, uv_ref[s], p, cam.level(s), cfg,
+            point_mask=point_mask,
         )
         iters.append(it)
         normdps.append(ndp)
@@ -225,14 +230,20 @@ def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
 
 
 def track_pose_batch(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
-                     p_init: jnp.ndarray, cam: CameraPyramid, cfg: ICGNParams):
+                     p_init: jnp.ndarray, cam: CameraPyramid, cfg: ICGNParams,
+                     point_mask: jnp.ndarray | None = None):
     """Batched tracking: shared image pair, per-sample point sets + poses.
 
-    X: (B, N, 3); p_init: (B, 6) -> (B, 6).
+    X: (B, N, 3); p_init: (B, 6); optional point_mask (B, N) -> (B, 6).
 
     This replaces the reference's sequential loop over RANSAC pose
     samples (reference: run_track_nposes.cpp:193) with one device batch.
     """
+    if point_mask is None:
+        return jax.vmap(
+            lambda Xb, pb: track_pose(pyr_ref, pyr_new, Xb, pb, cam, cfg)
+        )(X, p_init)
     return jax.vmap(
-        lambda Xb, pb: track_pose(pyr_ref, pyr_new, Xb, pb, cam, cfg)
-    )(X, p_init)
+        lambda Xb, pb, mb: track_pose(pyr_ref, pyr_new, Xb, pb, cam, cfg,
+                                      point_mask=mb)
+    )(X, p_init, point_mask)

@@ -1,0 +1,87 @@
+import jax.numpy as jnp
+import numpy as np
+
+from invcompcamtrack_tpu.ba.window import BAProblem, ba_residuals, ba_solve
+from tests.oracles import geometry_np as geo
+
+
+def _make_problem(rng, K=6, L=64, noise=0.0, perturb_pose=0.01, perturb_lm=0.05,
+                  drop=0.1):
+    fx, fy, cx, cy = 400.0, 410.0, 320.0, 240.0
+    X_gt = rng.normal(size=(L, 3)) * 3 + [0, 0, 12]
+    poses_gt = []
+    for k in range(K):
+        t = np.array([0.4 * k, 0.02 * k, 0.0]) + rng.normal(size=3) * 0.02
+        w = rng.normal(size=3) * 0.01
+        # pose maps world->cam; camera center ~ t
+        G = geo.se3_exp(np.concatenate([np.zeros(3), w]))
+        R = G[:, :3]
+        poses_gt.append(geo.se3_log(np.concatenate([R, (-R @ t)[:, None]], 1)))
+    poses_gt = np.stack(poses_gt)
+
+    obs = np.zeros((K, L, 2))
+    for k in range(K):
+        uv, Xc = geo.project(geo.se3_exp(poses_gt[k]), X_gt, fx, fy, cx, cy)
+        obs[k] = uv + rng.normal(size=uv.shape) * noise
+    mask = rng.uniform(size=(K, L)) > drop
+    mask[:2, :] |= True  # anchor frames see everything
+
+    prob = BAProblem(
+        poses=jnp.asarray(poses_gt + rng.normal(size=poses_gt.shape) * perturb_pose
+                          * (np.arange(K) >= 2)[:, None]),
+        landmarks=jnp.asarray(X_gt + rng.normal(size=X_gt.shape) * perturb_lm),
+        obs=jnp.asarray(obs),
+        mask=jnp.asarray(mask),
+        fx=jnp.asarray(fx), fy=jnp.asarray(fy),
+        cx=jnp.asarray(cx), cy=jnp.asarray(cy),
+        fixed_pose_mask=jnp.asarray(np.arange(K) < 2),
+    )
+    return prob, poses_gt, X_gt
+
+
+def test_ba_zero_residual_at_gt(rng):
+    prob, poses_gt, X_gt = _make_problem(rng, perturb_pose=0.0, perturb_lm=0.0)
+    _, msq = ba_residuals(prob)
+    assert float(msq) < 1e-18
+
+
+def test_ba_converges_to_gt_noiseless(rng):
+    prob, poses_gt, X_gt = _make_problem(rng)
+    _, err0 = ba_residuals(prob)
+    poses, lms, (err, _) = ba_solve(prob, num_iters=15)
+    assert float(err) < 1e-10, (float(err0), float(err))
+    np.testing.assert_allclose(np.asarray(poses), poses_gt, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lms), X_gt, atol=1e-4)
+
+
+def test_ba_noisy_reduces_error_substantially(rng):
+    prob, poses_gt, X_gt = _make_problem(rng, noise=0.3, perturb_pose=0.02,
+                                         perturb_lm=0.1)
+    _, err0 = ba_residuals(prob)
+    poses, lms, (err, _) = ba_solve(prob, num_iters=15)
+    # converged error ~ observation noise level: 0.3^2/2 * 2 dims ~ 0.09
+    assert float(err) < 0.2, float(err)
+    assert float(err) < float(err0) * 0.5
+    # pose accuracy at the noise-limited level (0.3 px obs noise,
+    # 2-pose gauge anchor -> ~1% translation error)
+    derr = np.abs(np.asarray(poses) - poses_gt)
+    assert derr[2:, :3].max() < 0.04
+    assert derr[2:, 3:].max() < 0.01
+
+
+def test_ba_fixed_poses_unchanged(rng):
+    prob, poses_gt, _ = _make_problem(rng)
+    poses, _, _ = ba_solve(prob, num_iters=5)
+    np.testing.assert_allclose(np.asarray(poses[:2]), np.asarray(prob.poses[:2]),
+                               atol=0)
+
+
+def test_ba_masked_observations_ignored(rng):
+    """Corrupting masked-out observations must not change the result."""
+    prob, _, _ = _make_problem(rng)
+    poses1, lms1, _ = ba_solve(prob, num_iters=8)
+    obs_bad = jnp.where(prob.mask[..., None], prob.obs, 1e6)
+    prob2 = prob._replace(obs=obs_bad)
+    poses2, lms2, _ = ba_solve(prob2, num_iters=8)
+    np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses2), atol=0)
+    np.testing.assert_allclose(np.asarray(lms1), np.asarray(lms2), atol=0)
