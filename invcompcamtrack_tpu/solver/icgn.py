@@ -113,12 +113,20 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
     valid_ref = pose_ops.in_frustum(uv_ref, swo, sho)
     if point_mask is not None:
         valid_ref = valid_ref & point_mask
+    # NaN/inf projections (degenerate points at z ~ 0) poison the
+    # bilinear weights before any output mask can zero them; sample
+    # invalid points at a harmless fixed position instead.
+    uv_ref = jnp.where(valid_ref[:, None], uv_ref, jnp.zeros_like(uv_ref))
     p_img, p_dx, p_dy = extract_patches_grad(
         level_ref.img, level_ref.dx, level_ref.dy, uv_ref, cfg.psz,
         cam_level_padding(cfg), patch_norm=cfg.dopatchnorm,
     )
-    # [5] steepest-descent images, masked (explicit-zero semantics)
-    sd = steepest_descent_images(p_dx, p_dy, Xc_ref, fx, fy)
+    # [5] steepest-descent images, masked (explicit-zero semantics).
+    # Invalid points may sit at z ~ 0 (e.g. empty landmark slots); the
+    # Jacobian divides by z, and inf * 0-mask = NaN — so sanitize the
+    # camera-frame points BEFORE the division, then mask.
+    Xc_safe = jnp.where(valid_ref[:, None], Xc_ref, jnp.ones_like(Xc_ref))
+    sd = steepest_descent_images(p_dx, p_dy, Xc_safe, fx, fy)
     sd = sd * valid_ref[:, None, None, None].astype(sd.dtype)
     sd_flat = sd.reshape(N, 6, npix)
 
@@ -137,6 +145,7 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         # [7] project with current pose
         uv_new = pose_ops.project_points(G_cur, Xn, fx, fy, cx, cy)
         valid_new = pose_ops.in_frustum(uv_new, swo, sho) & valid_ref
+        uv_new = jnp.where(valid_new[:, None], uv_new, jnp.zeros_like(uv_new))
         # [8] query patches + error image
         q = extract_patches(
             level_new.img, uv_new, cfg.psz, cam_level_padding(cfg),
