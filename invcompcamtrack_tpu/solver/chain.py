@@ -118,13 +118,11 @@ def track_nposes(pyramids: Sequence[Pyramid], poses: jnp.ndarray,
 
     # patches: back from the OLDEST image, ref from frame fb0, fwd from
     # the NEWEST image (reference: :293, :300, :308), mean-normalized
-    # (dopatchnorm forced, :281)
+    # (dopatchnorm forced, :281).  extract_patches is batch-native.
     def patches(pyr, uv):
-        return jax.vmap(
-            lambda uvb: extract_patches(
-                pyr[lvl].img, uvb, cfg.psz, cfg.psz, patch_norm=True
-            )
-        )(uv)
+        uv = jnp.where(jnp.isfinite(uv), uv, 0.0)
+        return extract_patches(pyr[lvl].img, uv, cfg.psz, cfg.psz,
+                               patch_norm=True)
 
     pat_back = patches(pyramids[0], uv_back)
     pat_ref = patches(pyramids[fb0], uv_ref)

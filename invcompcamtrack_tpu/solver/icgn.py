@@ -103,9 +103,18 @@ def steepest_descent_images(p_dx, p_dy, Xc, fx, fy):
 
 def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
                      cfg: ICGNParams, point_mask=None):
-    """Run the GN iterations of one pyramid scale; returns updated pose."""
+    """Run the GN iterations of one pyramid scale; returns updated pose.
+
+    Batch-native: every array may carry arbitrary leading batch dims
+    (..., N, ...) over a SHARED image pair — the whole RANSAC sample
+    batch is one program, one patch-gather kernel call per iteration
+    (replacing the reference's sequential sample loop,
+    run_track_nposes.cpp:193).  Per-sample convergence is a mask
+    (converged samples freeze), reproducing vmapped-while semantics.
+    """
     fx, fy, cx, cy, swo, sho = cam_level
-    N = Xn.shape[0]
+    lead = Xn.shape[:-2]
+    N = Xn.shape[-2]
     npix = cfg.novals
 
     # [4] reference patches + gradients, frustum mask (+ optional
@@ -116,7 +125,7 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
     # NaN/inf projections (degenerate points at z ~ 0) poison the
     # bilinear weights before any output mask can zero them; sample
     # invalid points at a harmless fixed position instead.
-    uv_ref = jnp.where(valid_ref[:, None], uv_ref, jnp.zeros_like(uv_ref))
+    uv_ref = jnp.where(valid_ref[..., None], uv_ref, jnp.zeros_like(uv_ref))
     p_img, p_dx, p_dy = extract_patches_grad(
         level_ref.img, level_ref.dx, level_ref.dy, uv_ref, cfg.psz,
         cam_level_padding(cfg), patch_norm=cfg.dopatchnorm,
@@ -125,53 +134,59 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
     # Invalid points may sit at z ~ 0 (e.g. empty landmark slots); the
     # Jacobian divides by z, and inf * 0-mask = NaN — so sanitize the
     # camera-frame points BEFORE the division, then mask.
-    Xc_safe = jnp.where(valid_ref[:, None], Xc_ref, jnp.ones_like(Xc_ref))
+    Xc_safe = jnp.where(valid_ref[..., None], Xc_ref, jnp.ones_like(Xc_ref))
     sd = steepest_descent_images(p_dx, p_dy, Xc_safe, fx, fy)
-    sd = sd * valid_ref[:, None, None, None].astype(sd.dtype)
-    sd_flat = sd.reshape(N, 6, npix)
+    sd = sd * valid_ref[..., None, None, None].astype(sd.dtype)
+    sd_flat = sd.reshape(lead + (N, 6, npix))
 
-    # [6] 6x6 Hessian: one MXU matmul over all (point, pixel) pairs
-    S = jnp.swapaxes(sd_flat, 0, 1).reshape(6, N * npix)
-    H = jnp.matmul(S, S.T, precision=_PREC)
+    # [6] 6x6 Hessian: one MXU contraction over all (point, pixel) pairs
+    H = jnp.einsum("...nkp,...nlp->...kl", sd_flat, sd_flat, precision=_PREC)
 
-    ref_flat = (p_img * valid_ref[:, None, None].astype(p_img.dtype)).reshape(N, npix)
+    ref_flat = (
+        p_img * valid_ref[..., None, None].astype(p_img.dtype)
+    ).reshape(lead + (N, npix))
 
     def cond(state):
-        it, _p, _G, normdp, normdp_init = state
-        return (it < cfg.maxiter) & ((normdp / normdp_init) > cfg.normdp_ratio)
+        it, _p, _G, _normdp, _normdp_init, active = state
+        return (it < cfg.maxiter) & jnp.any(active)
 
     def body(state):
-        it, p_cur, G_cur, normdp, normdp_init = state
+        it, p_cur, G_cur, normdp, normdp_init, active = state
         # [7] project with current pose
         uv_new = pose_ops.project_points(G_cur, Xn, fx, fy, cx, cy)
         valid_new = pose_ops.in_frustum(uv_new, swo, sho) & valid_ref
-        uv_new = jnp.where(valid_new[:, None], uv_new, jnp.zeros_like(uv_new))
+        uv_new = jnp.where(valid_new[..., None], uv_new, jnp.zeros_like(uv_new))
         # [8] query patches + error image
         q = extract_patches(
             level_new.img, uv_new, cfg.psz, cam_level_padding(cfg),
             patch_norm=cfg.dopatchnorm,
-        ).reshape(N, npix)
-        pdiff = (ref_flat - q) * valid_new[:, None].astype(q.dtype)
+        ).reshape(lead + (N, npix))
+        pdiff = (ref_flat - q) * valid_new[..., None].astype(q.dtype)
         # [9a] rhs_k = sum_{n,p} sd[n,k,p] * pdiff[n,p]
-        rhs = jnp.einsum("nkp,np->k", sd_flat, pdiff, precision=_PREC)
+        rhs = jnp.einsum("...nkp,...np->...k", sd_flat, pdiff, precision=_PREC)
         # [9b] solve 6x6 normal equations (reference used fullPivLu)
-        delta = jnp.linalg.solve(H, rhs)
+        delta = jnp.linalg.solve(H, rhs[..., None])[..., 0]
+        delta = delta * active[..., None].astype(delta.dtype)
         # [10] additive coefficient update + re-exponentiation
         p_next = p_cur + delta
         G_next = lie.se3_exp(p_next)
-        ndp = jnp.sum(jnp.abs(delta))
-        ndp_init = jnp.where(it == 0, ndp, normdp_init)
-        return (it + 1, p_next, G_next, ndp, ndp_init)
+        ndp_new = jnp.sum(jnp.abs(delta), axis=-1)
+        ndp = jnp.where(active, ndp_new, normdp)
+        ndp_init = jnp.where(active & (it == 0), ndp_new, normdp_init)
+        active_next = active & ((ndp / ndp_init) > cfg.normdp_ratio)
+        return (it + 1, p_next, G_next, ndp, ndp_init, active_next)
 
+    init_norm = jnp.full(lead, _NORMDP_INIT, p.dtype)
     init = (
         jnp.zeros((), jnp.int32),
         p,
         lie.se3_exp(p),
-        jnp.asarray(_NORMDP_INIT, p.dtype),
-        jnp.asarray(_NORMDP_INIT, p.dtype),
+        init_norm,
+        init_norm,
+        jnp.ones(lead, bool),
     )
-    it, p_out, _G, normdp, _ = jax.lax.while_loop(cond, body, init)
-    return p_out, (it, normdp, jnp.sum(valid_ref))
+    it, p_out, _G, normdp, _, _ = jax.lax.while_loop(cond, body, init)
+    return p_out, (it, normdp, jnp.sum(valid_ref, axis=-1))
 
 
 def cam_level_padding(cfg: ICGNParams) -> int:
@@ -208,7 +223,7 @@ def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
     # computed ONCE at the initial pose and reused for all scales'
     # Jacobians — the inverse-compositional approximation
     # (reference: odometer.cpp:241-255).
-    G0 = lie.se3_exp(p)
+    G0 = lie.se3_exp(p)  # (..., 3, 4); all downstream ops batch-broadcast
     Xc_ref = pose_ops.transform_points(G0, Xn)
     uv_ref = {}
     for s in range(cfg.lv_l, cfg.lv_f + 1):
@@ -245,14 +260,10 @@ def track_pose_batch(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
 
     X: (B, N, 3); p_init: (B, 6); optional point_mask (B, N) -> (B, 6).
 
-    This replaces the reference's sequential loop over RANSAC pose
-    samples (reference: run_track_nposes.cpp:193) with one device batch.
+    The solver is batch-native (no vmap): the whole RANSAC sample batch
+    runs as one device program, with one Pallas gather call per
+    iteration over all B*N points (replacing the reference's sequential
+    sample loop, run_track_nposes.cpp:193).
     """
-    if point_mask is None:
-        return jax.vmap(
-            lambda Xb, pb: track_pose(pyr_ref, pyr_new, Xb, pb, cam, cfg)
-        )(X, p_init)
-    return jax.vmap(
-        lambda Xb, pb, mb: track_pose(pyr_ref, pyr_new, Xb, pb, cam, cfg,
-                                      point_mask=mb)
-    )(X, p_init, point_mask)
+    return track_pose(pyr_ref, pyr_new, X, p_init, cam, cfg,
+                      point_mask=point_mask)
