@@ -1,0 +1,80 @@
+"""Single image-pair pose tracker CLI.
+
+Argv- and file-protocol-compatible with the reference binary
+(reference: run_io_reprojection_test.cpp:99-236):
+
+    python -m invcompcamtrack_tpu.cli.track_pair \\
+        IMG_A IMG_B INFILE OUTFILE \\
+        LV_F LV_L PSZ MAXITER NORMDP_RATIO DONORM DOPATCHNORM MAXPT VERBOSITY
+
+- INFILE: the binary point+camera protocol (utils/io.py),
+- OUTFILE: 6 float64 of the refined pose,
+- VERBOSITY == 1: repeat tracking 1000x and print wall time in the
+  reference's format (reference: :209-231),
+- VERBOSITY == 2: per-scale diagnostics.
+
+MAXPT is accepted for argv parity but irrelevant (capacity is the
+actual point count here).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) != 13:
+        print(__doc__)
+        return 2
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from invcompcamtrack_tpu.config import ICGNParams
+    from invcompcamtrack_tpu.core.camera import CameraPyramid
+    from invcompcamtrack_tpu.image.pyramid import build_pyramid
+    from invcompcamtrack_tpu.solver.icgn import track_pose
+    from invcompcamtrack_tpu.utils import io
+    from invcompcamtrack_tpu.utils.image import load_gray
+
+    (img_a, img_b, infile, outfile, lv_f, lv_l, psz, maxiter,
+     normdp_ratio, donorm, dopatchnorm, _maxpt, verbosity) = argv
+
+    cfg = ICGNParams(
+        lv_f=int(lv_f), lv_l=int(lv_l), psz=int(psz), maxiter=int(maxiter),
+        normdp_ratio=float(normdp_ratio), donorm=bool(int(donorm)),
+        dopatchnorm=bool(int(dopatchnorm)), verbosity=int(verbosity),
+    )
+    data = io.read_pointcam(infile)
+    cam = CameraPyramid.create(data.fc, data.cc, data.wh, cfg.num_levels, cfg.psz)
+    pyr_a = build_pyramid(jnp.asarray(load_gray(img_a)), cfg.num_levels, cfg.psz)
+    pyr_b = build_pyramid(jnp.asarray(load_gray(img_b)), cfg.num_levels, cfg.psz)
+    X = jnp.asarray(data.pt3d, jnp.float32)
+    p0 = jnp.asarray(data.pose, jnp.float32)
+
+    def run():
+        return track_pose(pyr_a, pyr_b, X, p0, cam, cfg, return_aux=True)
+
+    p_out, aux = run()  # compile + first run
+    p_out.block_until_ready()
+
+    if cfg.verbosity == 1:
+        t0 = time.time()
+        for _ in range(1000):
+            p_out, aux = run()
+        p_out.block_until_ready()
+        tt = (time.time() - t0) * 1e3
+        print(f"TIME (pose tracking) (musec): {tt:3g}")
+    if cfg.verbosity == 2:
+        for s, (it, ndp) in enumerate(zip(np.asarray(aux.iters),
+                                          np.asarray(aux.normdp))):
+            print(f"Sc{cfg.lv_f - s:02d}: iters {int(it)}, |dp| {float(ndp):g}")
+
+    io.write_pose_result(outfile, np.asarray(p_out, np.float64))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
