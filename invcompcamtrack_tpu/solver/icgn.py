@@ -40,6 +40,7 @@ from invcompcamtrack_tpu.core import pose as pose_ops
 from invcompcamtrack_tpu.core.camera import CameraPyramid
 from invcompcamtrack_tpu.image.patch import extract_patches, extract_patches_grad
 from invcompcamtrack_tpu.image.pyramid import Pyramid
+from invcompcamtrack_tpu.ops.linalg import cholesky_solve_sym
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -102,7 +103,7 @@ def steepest_descent_images(p_dx, p_dy, Xc, fx, fy):
 
 
 def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
-                     cfg: ICGNParams, point_mask=None):
+                     cfg: ICGNParams, point_mask=None, scale_index: int = 0):
     """Run the GN iterations of one pyramid scale; returns updated pose.
 
     Batch-native: every array may carry arbitrary leading batch dims
@@ -164,8 +165,11 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         pdiff = (ref_flat - q) * valid_new[..., None].astype(q.dtype)
         # [9a] rhs_k = sum_{n,p} sd[n,k,p] * pdiff[n,p]
         rhs = jnp.einsum("...nkp,...np->...k", sd_flat, pdiff, precision=_PREC)
-        # [9b] solve 6x6 normal equations (reference used fullPivLu)
-        delta = jnp.linalg.solve(H, rhs[..., None])[..., 0]
+        # [9b] solve 6x6 normal equations.  The reference used fullPivLu
+        # (odometer.cpp:509-515) and noted llt as fastest; batched LU on
+        # TPU lowers to pivot loops (~1.8us/solve), so we use an
+        # unrolled guarded Cholesky (H is the GN normal matrix: SPD).
+        delta = cholesky_solve_sym(H, rhs)
         delta = delta * active[..., None].astype(delta.dtype)
         # [10] additive coefficient update + re-exponentiation
         p_next = p_cur + delta
@@ -174,6 +178,13 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         ndp = jnp.where(active, ndp_new, normdp)
         ndp_init = jnp.where(active & (it == 0), ndp_new, normdp_init)
         active_next = active & ((ndp / ndp_init) > cfg.normdp_ratio)
+        if cfg.verbosity >= 2:
+            # the reference's per-iteration print (odometer.cpp:416-417);
+            # batched runs report the mean |dp| over active samples
+            jax.debug.print(
+                "Sc{s:02d},It{i:02d}: {v}", s=scale_index, i=it,
+                v=jnp.mean(ndp), ordered=False,
+            )
         return (it + 1, p_next, G_next, ndp, ndp_init, active_next)
 
     init_norm = jnp.full(lead, _NORMDP_INIT, p.dtype)
@@ -234,7 +245,7 @@ def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
     for s in range(cfg.lv_f, cfg.lv_l - 1, -1):  # coarse -> fine
         p, (it, ndp, vc) = _track_one_scale(
             pyr_ref[s], pyr_new[s], Xn, Xc_ref, uv_ref[s], p, cam.level(s), cfg,
-            point_mask=point_mask,
+            point_mask=point_mask, scale_index=s,
         )
         iters.append(it)
         normdps.append(ndp)
