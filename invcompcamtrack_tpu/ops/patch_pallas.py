@@ -33,8 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 _T = 256        # points per grid step
 _UNROLL = 4     # points per loop iteration
-_WIN_ROWS = 16  # aligned window rows (covers 9 rows at any sublane phase)
-_WIN_COLS = 256  # aligned window cols (covers 9 cols at any lane phase)
+
+
+def _win_rows(psz: int) -> int:
+    # covers psz+1 rows at any sublane phase (start rounded down to 8)
+    return ((psz + 1 + 7) // 8) * 8 + 8
+
+
+def _win_cols(psz: int) -> int:
+    # covers psz+1 cols at any lane phase (start rounded down to 128)
+    return ((psz + 1 + 127) // 128) * 128 + 128
 
 
 def pallas_available(dtype=jnp.float32) -> bool:
@@ -60,11 +68,11 @@ def _bilinear_base(centers, psz: int, padding: int):
     return row0, col0, w
 
 
-def _pad_image(img):
-    """Pad so any clipped (row0, col0) admits an aligned (16, 256) load."""
+def _pad_image(img, psz: int):
+    """Pad so any clipped (row0, col0) admits an aligned window load."""
     H, W = img.shape
-    H_pad = ((H + 7) // 8) * 8 + _WIN_ROWS
-    W_pad = ((W + 127) // 128) * 128 + _WIN_COLS
+    H_pad = ((H + 7) // 8) * 8 + _win_rows(psz)
+    W_pad = ((W + 127) // 128) * 128 + _win_cols(psz)
     return jnp.pad(img, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
 
 
@@ -82,12 +90,13 @@ def _prep_indices(centers, psz, padding, H, W):
     return jnp.stack([row0, col0], axis=1), w.astype(jnp.float32), M, M_pad
 
 
-def _load_window(img_ref, r, c):
+def _load_window(img_ref, r, c, psz):
+    wr, wc = _win_rows(psz), _win_cols(psz)
     r_al = (r // 8) * 8
     c_al = (c // 128) * 128
-    win = img_ref[pl.ds(r_al, _WIN_ROWS), pl.ds(c_al, _WIN_COLS)]
-    win = pltpu.roll(win, _WIN_ROWS - (r - r_al), axis=0)
-    return pltpu.roll(win, _WIN_COLS - (c - c_al), axis=1)
+    win = img_ref[pl.ds(r_al, wr), pl.ds(c_al, wc)]
+    win = pltpu.roll(win, wr - (r - r_al), axis=0)
+    return pltpu.roll(win, wc - (c - c_al), axis=1)
 
 
 def _tap(win, w_ref, i, psz):
@@ -103,7 +112,7 @@ def _kernel_single(psz, idx_ref, w_ref, img_ref, out_ref):
     def body(j, _):
         for u in range(_UNROLL):
             i = j * _UNROLL + u
-            win = _load_window(img_ref, idx_ref[i, 0], idx_ref[i, 1])
+            win = _load_window(img_ref, idx_ref[i, 0], idx_ref[i, 1], psz)
             out_ref[i] = _tap(win, w_ref, i, psz)
         return 0
 
@@ -117,9 +126,9 @@ def _kernel_grad(psz, idx_ref, w_ref, img_ref, dx_ref, dy_ref,
             i = j * _UNROLL + u
             r = idx_ref[i, 0]
             c = idx_ref[i, 1]
-            out_i_ref[i] = _tap(_load_window(img_ref, r, c), w_ref, i, psz)
-            out_dx_ref[i] = _tap(_load_window(dx_ref, r, c), w_ref, i, psz)
-            out_dy_ref[i] = _tap(_load_window(dy_ref, r, c), w_ref, i, psz)
+            out_i_ref[i] = _tap(_load_window(img_ref, r, c, psz), w_ref, i, psz)
+            out_dx_ref[i] = _tap(_load_window(dx_ref, r, c, psz), w_ref, i, psz)
+            out_dy_ref[i] = _tap(_load_window(dy_ref, r, c, psz), w_ref, i, psz)
         return 0
 
     jax.lax.fori_loop(0, _T // _UNROLL, body, 0)
@@ -132,7 +141,7 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
 
     img: (Hp, Wp) float32 padded level; centers: (..., 2) -> (..., psz, psz).
     """
-    img_p = _pad_image(img)
+    img_p = _pad_image(img, psz)
     Hp, Wp = img_p.shape
     idx, w, M, M_pad = _prep_indices(centers, psz, padding, img.shape[0], img.shape[1])
 
@@ -169,8 +178,8 @@ def gather_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     """Pallas twin of image.patch.extract_patches_grad (3 planes, shared
     index math).  Large levels (3 planes would overflow VMEM) fall back
     to three single-plane kernel launches."""
-    H_pad = ((img.shape[0] + 7) // 8) * 8 + _WIN_ROWS
-    W_pad = ((img.shape[1] + 127) // 128) * 128 + _WIN_COLS
+    H_pad = ((img.shape[0] + 7) // 8) * 8 + _win_rows(psz)
+    W_pad = ((img.shape[1] + 127) // 128) * 128 + _win_cols(psz)
     if 3 * H_pad * W_pad * 4 > _FUSED_VMEM_BUDGET:
         p_img = gather_patches(img, centers, psz, padding, patch_norm=False)
         p_dx = gather_patches(dx, centers, psz, padding, patch_norm=False)
@@ -179,9 +188,9 @@ def gather_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
             p_img = p_img - jnp.mean(p_img, axis=(-2, -1), keepdims=True)
         return p_img, p_dx, p_dy
 
-    img_p = _pad_image(img)
-    dx_p = _pad_image(dx)
-    dy_p = _pad_image(dy)
+    img_p = _pad_image(img, psz)
+    dx_p = _pad_image(dx, psz)
+    dy_p = _pad_image(dy, psz)
     Hp, Wp = img_p.shape
     idx, w, M, M_pad = _prep_indices(centers, psz, padding, img.shape[0], img.shape[1])
 
