@@ -28,11 +28,15 @@ _PREC = jax.lax.Precision.HIGHEST
 def track_points_lk(pyr_a: Pyramid, pyr_b: Pyramid, xy: jnp.ndarray,
                     psz: int = 8, padding: int | None = None,
                     num_levels: int | None = None, max_iters: int = 8,
-                    eps: float = 0.03, min_det: float = 1e-6):
+                    eps: float = 0.03, min_det: float = 1e-6,
+                    init_xy: jnp.ndarray | None = None):
     """Track points from image A to image B.
 
     pyr_a/pyr_b: pyramids (same builder as the pose solver).
     xy: (N, 2) positions in image A (level-0 unpadded coords).
+    init_xy: optional initial guesses in image B (e.g. an expected
+    disparity for stereo matching) — widens the convergence basin far
+    beyond the pyramid's reach.
     Returns (xy_b (N, 2), valid (N,)).
     """
     if padding is None:
@@ -42,7 +46,8 @@ def track_points_lk(pyr_a: Pyramid, pyr_b: Pyramid, xy: jnp.ndarray,
     L = num_levels
 
     # guesses start at the coarsest level, in that level's coordinates
-    guess = xy / (2.0 ** (L - 1))
+    start = xy if init_xy is None else init_xy
+    guess = start / (2.0 ** (L - 1))
     valid = jnp.all(jnp.isfinite(xy), axis=1)
 
     for s in range(L - 1, -1, -1):

@@ -29,12 +29,13 @@ class PlaneScene(NamedTuple):
 
 
 def make_scene(rng: np.random.Generator, wh=(320, 240), fc=(300.0, 310.0),
-               cc=None, z0=8.0, num_waves=24) -> PlaneScene:
+               cc=None, z0=8.0, num_waves=24, freq_range=(2.0, 20.0)) -> PlaneScene:
     if cc is None:
         cc = (wh[0] / 2.0 + 1.5, wh[1] / 2.0 - 2.0)
-    # band-limited texture: wavelengths from ~0.3 to ~3 world units so an
-    # 8x8 patch at f~300, z~8 (≈0.027 wu/px) sees useful gradients
-    freqs = rng.uniform(2.0, 20.0, size=(num_waves, 2)) * rng.choice(
+    # band-limited texture: default wavelengths ~0.3 to ~3 world units so
+    # an 8x8 patch at f~300, z~8 (~0.027 wu/px) sees useful gradients;
+    # lower freq_range for workloads with large displacements (stereo)
+    freqs = rng.uniform(freq_range[0], freq_range[1], size=(num_waves, 2)) * rng.choice(
         [-1.0, 1.0], size=(num_waves, 2)
     )
     return PlaneScene(

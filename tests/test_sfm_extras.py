@@ -149,3 +149,28 @@ def test_rig_triangulation_and_pose_refinement(rng):
     derr = np.abs(np.asarray(p_ref) - rig_gt[1])
     assert derr.max() < 5e-3, derr  # noise-limited (0.1px obs noise)
     assert float(msq) < 0.05
+
+
+def test_euroc_reader(tmp_path):
+    from invcompcamtrack_tpu.vo.datasets import load_euroc_sequence
+
+    cam = tmp_path / "mav0" / "cam0"
+    (cam / "data").mkdir(parents=True)
+    gt = tmp_path / "mav0" / "state_groundtruth_estimate0"
+    gt.mkdir(parents=True)
+    (cam / "data.csv").write_text(
+        "#timestamp [ns],filename\n"
+        "1403636579763555584,1403636579763555584.png\n"
+        "1403636579813555456,1403636579813555456.png\n"
+    )
+    for n in ("1403636579763555584", "1403636579813555456"):
+        (cam / "data" / f"{n}.png").write_bytes(b"")
+    (gt / "data.csv").write_text(
+        "#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m], q_RS_w [], q_RS_x [], q_RS_y [], q_RS_z []\n"
+        "1403636579758555392,4.68,-1.78,0.78,0.53,-0.15,-0.82,-0.08\n"
+    )
+    s = load_euroc_sequence(tmp_path)
+    assert len(s.image_paths) == 2
+    np.testing.assert_allclose(s.timestamps[0], 1403636579.763555584, rtol=1e-9)
+    np.testing.assert_allclose(s.gt_positions[0], [4.68, -1.78, 0.78])
+    np.testing.assert_allclose(s.gt_quaternions[0], [0.53, -0.15, -0.82, -0.08])
