@@ -33,6 +33,16 @@ class ICGNParams:
     donorm: bool = True      # zero-mean/variance normalize cloud + pose
     dopatchnorm: bool = False  # subtract patch mean before residuals
     verbosity: int = 0
+    # performance: cache a (psz+8)^2 window per point per scale and
+    # resample query patches from it each GN iteration (bit-exact while
+    # positions stay within +-(slack) px of the scale-entry projection;
+    # clamped beyond).  Pure optimization — set False for the exact
+    # reference gather every iteration.
+    window_cache: bool = True
+
+    @property
+    def window_size(self) -> int:
+        return self.psz + 8
 
     @property
     def pszd2(self) -> int:

@@ -219,3 +219,66 @@ def gather_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
     if patch_norm:
         p_img = p_img - jnp.mean(p_img, axis=(-2, -1), keepdims=True)
     return p_img, p_dx, p_dy
+
+
+# ---------------- integer window gather (for the window cache) ----------------
+
+def _kernel_windows(wh, ww, idx_ref, img_ref, out_ref):
+    def body(j, _):
+        for u in range(_UNROLL):
+            i = j * _UNROLL + u
+            r = idx_ref[i, 0]
+            c = idx_ref[i, 1]
+            r_al = (r // 8) * 8
+            c_al = (c // 128) * 128
+            rows = ((wh + 7) // 8) * 8 + 8
+            cols = ((ww + 127) // 128) * 128 + 128
+            win = img_ref[pl.ds(r_al, rows), pl.ds(c_al, cols)]
+            win = pltpu.roll(win, rows - (r - r_al), axis=0)
+            win = pltpu.roll(win, cols - (c - c_al), axis=1)
+            out_ref[i] = win[:wh, :ww]
+        return 0
+
+    jax.lax.fori_loop(0, _T // _UNROLL, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("wh", "ww"))
+def gather_windows(img: jnp.ndarray, origins: jnp.ndarray, wh: int, ww: int):
+    """Gather (..., wh, ww) integer-origin windows from a 2D image.
+
+    origins: (..., 2) int32 (row, col) into the *padded* image.  Fuel for
+    the solver's window cache: gathered once per scale, then every GN
+    iteration resamples patches from the dense window tensor with pure
+    vector math (ops.window_sample) instead of a per-point gather.
+    """
+    H, W = img.shape
+    rows = ((wh + 7) // 8) * 8 + 8
+    cols = ((ww + 127) // 128) * 128 + 128
+    H_pad = ((H + 7) // 8) * 8 + rows
+    W_pad = ((W + 127) // 128) * 128 + cols
+    img_p = jnp.pad(img, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
+
+    flat = origins.reshape(-1, 2)
+    M = flat.shape[0]
+    r0 = jnp.clip(flat[:, 0], 0, H - 1)
+    c0 = jnp.clip(flat[:, 1], 0, W - 1)
+    M_pad = ((M + _T - 1) // _T) * _T
+    r0 = jnp.pad(r0, (0, M_pad - M))
+    c0 = jnp.pad(c0, (0, M_pad - M))
+    idx = jnp.stack([r0, c0], axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_windows, wh, ww),
+        out_shape=jax.ShapeDtypeStruct((M_pad, wh, ww), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=(M_pad // _T,),
+            in_specs=[
+                pl.BlockSpec((_T, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((H_pad, W_pad), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((_T, wh, ww), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(idx, img_p)
+    return out[:M].reshape(origins.shape[:-1] + (wh, ww))

@@ -41,6 +41,11 @@ from invcompcamtrack_tpu.core.camera import CameraPyramid
 from invcompcamtrack_tpu.image.patch import extract_patches, extract_patches_grad
 from invcompcamtrack_tpu.image.pyramid import Pyramid
 from invcompcamtrack_tpu.ops.linalg import cholesky_solve_sym
+from invcompcamtrack_tpu.ops.window_sample import (
+    gather_windows_any,
+    sample_from_windows,
+    window_origin,
+)
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -147,6 +152,18 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         p_img * valid_ref[..., None, None].astype(p_img.dtype)
     ).reshape(lead + (N, npix))
 
+    if cfg.window_cache:
+        # cache local query-image windows at the scale-entry projections;
+        # iterations resample from the dense tensor (no per-iter gather)
+        G_entry = lie.se3_exp(p)
+        uv_entry = pose_ops.project_points(G_entry, Xn, fx, fy, cx, cy)
+        uv_entry = jnp.where(
+            jnp.isfinite(uv_entry) & valid_ref[..., None], uv_entry, 0.0
+        )
+        origins = window_origin(uv_entry, cfg.psz, cfg.window_size,
+                                cam_level_padding(cfg))
+        qwin = gather_windows_any(level_new.img, origins, cfg.window_size)
+
     def cond(state):
         it, _p, _G, _normdp, _normdp_init, active = state
         return (it < cfg.maxiter) & jnp.any(active)
@@ -158,10 +175,16 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         valid_new = pose_ops.in_frustum(uv_new, swo, sho) & valid_ref
         uv_new = jnp.where(valid_new[..., None], uv_new, jnp.zeros_like(uv_new))
         # [8] query patches + error image
-        q = extract_patches(
-            level_new.img, uv_new, cfg.psz, cam_level_padding(cfg),
-            patch_norm=cfg.dopatchnorm,
-        ).reshape(lead + (N, npix))
+        if cfg.window_cache:
+            q = sample_from_windows(
+                qwin, origins, uv_new, cfg.psz, cam_level_padding(cfg),
+                patch_norm=cfg.dopatchnorm,
+            ).reshape(lead + (N, npix))
+        else:
+            q = extract_patches(
+                level_new.img, uv_new, cfg.psz, cam_level_padding(cfg),
+                patch_norm=cfg.dopatchnorm,
+            ).reshape(lead + (N, npix))
         pdiff = (ref_flat - q) * valid_new[..., None].astype(q.dtype)
         # [9a] rhs_k = sum_{n,p} sd[n,k,p] * pdiff[n,p]
         rhs = jnp.einsum("...nkp,...np->...k", sd_flat, pdiff, precision=_PREC)

@@ -157,3 +157,20 @@ def test_icgn_jit_and_aux(rng):
         track_pose(pyr_ref, pyr_new, jnp.asarray(X), jnp.zeros(6, jnp.float64), cam, cfg)
     )
     np.testing.assert_allclose(np.asarray(p_res), p_eager, rtol=1e-9)
+
+
+def test_window_cache_matches_direct_gather(rng):
+    """The window-cache fast path must be bit-equal to the per-iteration
+    gather while iterates stay within the window slack (normal motion)."""
+    scene, p_gt, img_ref, img_new, X, _, _ = _setup(rng, n_pts=48, lv_f=2)
+    base = dict(lv_f=2, lv_l=0, psz=8, maxiter=8, normdp_ratio=0.01,
+                donorm=True, dopatchnorm=False)
+    cfg_on = ICGNParams(**base, window_cache=True)
+    cfg_off = ICGNParams(**base, window_cache=False)
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh, 3, 8)
+    pyr_ref = build_pyramid(jnp.asarray(img_ref), 3, 8)
+    pyr_new = build_pyramid(jnp.asarray(img_new), 3, 8)
+    p0 = jnp.zeros(6, jnp.float64)
+    p_on = np.asarray(track_pose(pyr_ref, pyr_new, jnp.asarray(X), p0, cam, cfg_on))
+    p_off = np.asarray(track_pose(pyr_ref, pyr_new, jnp.asarray(X), p0, cam, cfg_off))
+    np.testing.assert_allclose(p_on, p_off, rtol=0, atol=0)
