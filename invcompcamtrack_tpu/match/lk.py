@@ -21,6 +21,11 @@ import jax.numpy as jnp
 
 from invcompcamtrack_tpu.image.patch import extract_patches, extract_patches_grad
 from invcompcamtrack_tpu.image.pyramid import Pyramid
+from invcompcamtrack_tpu.ops.window_sample import (
+    gather_windows_any,
+    sample_from_windows,
+    window_origin,
+)
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -29,7 +34,8 @@ def track_points_lk(pyr_a: Pyramid, pyr_b: Pyramid, xy: jnp.ndarray,
                     psz: int = 8, padding: int | None = None,
                     num_levels: int | None = None, max_iters: int = 8,
                     eps: float = 0.03, min_det: float = 1e-6,
-                    init_xy: jnp.ndarray | None = None):
+                    init_xy: jnp.ndarray | None = None,
+                    window_cache: bool = True):
     """Track points from image A to image B.
 
     pyr_a/pyr_b: pyramids (same builder as the pose solver).
@@ -73,9 +79,21 @@ def track_points_lk(pyr_a: Pyramid, pyr_b: Pyramid, xy: jnp.ndarray,
         inv11 = jnp.where(good, h00 / jnp.where(good, det, 1.0), 0.0)
         reff = ref.reshape(N, -1)
 
+        if window_cache:
+            # cache query windows at the level-entry guesses; iterations
+            # resample densely (same trick as the pose solver)
+            win = psz + 8
+            g0 = jnp.where(jnp.isfinite(guess), guess, 0.0)
+            origins = window_origin(g0, psz, win, padding)
+            qwin = gather_windows_any(lvl_b.img, origins, win)
+
         def step(carry, _):
             pos, active = carry
-            q = extract_patches(lvl_b.img, pos, psz, padding).reshape(N, -1)
+            if window_cache:
+                q = sample_from_windows(qwin, origins, pos, psz, padding
+                                        ).reshape(N, -1)
+            else:
+                q = extract_patches(lvl_b.img, pos, psz, padding).reshape(N, -1)
             r = reff - q
             bx = jnp.sum(gxf * r, axis=1)
             by = jnp.sum(gyf * r, axis=1)
