@@ -69,6 +69,16 @@ def main():
     out = step(pyr_ref, pyr_new, X, p0)
     out.block_until_ready()  # compile
 
+    # correctness guard: the timed program must actually solve the
+    # problem (finite poses converging to the GT camera center)
+    G = np.asarray(lie.se3_exp(jnp.asarray(out)))
+    centers = -np.einsum("bji,bj->bi", G[:, :, :3], G[:, :, 3])
+    G_gt = np.asarray(lie.se3_exp(jnp.asarray(p_gt, jnp.float32)))
+    c_gt = -G_gt[:, :3].T @ G_gt[:, 3]
+    err = np.linalg.norm(centers - c_gt, axis=1)
+    assert np.all(np.isfinite(err)), "bench produced non-finite poses"
+    assert np.median(err) < 0.05, f"bench pose error too large: {np.median(err)}"
+
     # steady-state timing
     reps = 10
     t0 = time.perf_counter()
