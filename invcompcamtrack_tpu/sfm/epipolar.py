@@ -18,11 +18,20 @@ import jax.numpy as jnp
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _normalize_pts(x: jnp.ndarray):
+def _normalize_pts(x: jnp.ndarray, weights=None):
     """Hartley normalization: zero mean, mean distance sqrt(2)."""
-    mean = jnp.mean(x, axis=-2, keepdims=True)
-    d = jnp.linalg.norm(x - mean, axis=-1)
-    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d, axis=-1), 1e-12)
+    if weights is None:
+        mean = jnp.mean(x, axis=-2, keepdims=True)
+        d = jnp.linalg.norm(x - mean, axis=-1)
+        scale = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d, axis=-1), 1e-12)
+    else:
+        w = weights[..., None]
+        wsum = jnp.maximum(jnp.sum(w, axis=-2, keepdims=True), 1e-12)
+        mean = jnp.sum(x * w, axis=-2, keepdims=True) / wsum
+        d = jnp.linalg.norm(x - mean, axis=-1) * weights
+        scale = jnp.sqrt(2.0) / jnp.maximum(
+            jnp.sum(d, axis=-1) / wsum[..., 0, 0], 1e-12
+        )
     T = jnp.zeros(x.shape[:-2] + (3, 3), x.dtype)
     T = T.at[..., 0, 0].set(scale)
     T = T.at[..., 1, 1].set(scale)
@@ -33,16 +42,20 @@ def _normalize_pts(x: jnp.ndarray):
     return xn, T
 
 
-def fundamental_8pt(xa: jnp.ndarray, xb: jnp.ndarray) -> jnp.ndarray:
+def fundamental_8pt(xa: jnp.ndarray, xb: jnp.ndarray,
+                    weights=None) -> jnp.ndarray:
     """Normalized 8-point algorithm; xa, xb: (..., n>=8, 2) -> (..., 3, 3)
-    with rank-2 enforcement."""
-    xan, Ta = _normalize_pts(xa)
-    xbn, Tb = _normalize_pts(xb)
+    with rank-2 enforcement.  Optional per-point weights (e.g. an inlier
+    mask) give the least-squares refit variant."""
+    xan, Ta = _normalize_pts(xa, weights)
+    xbn, Tb = _normalize_pts(xb, weights)
     u, v = xan[..., 0], xan[..., 1]
     up, vp = xbn[..., 0], xbn[..., 1]
     ones = jnp.ones_like(u)
     # rows: [u'u, u'v, u', v'u, v'v, v', u, v, 1] for x'^T F x = 0
     A = jnp.stack([up * u, up * v, up, vp * u, vp * v, vp, u, v, ones], axis=-1)
+    if weights is not None:
+        A = A * weights[..., None]
     AtA = jnp.einsum("...ki,...kj->...ij", A, A, precision=_PREC)
     _, evecs = jnp.linalg.eigh(AtA)
     F = evecs[..., :, 0].reshape(evecs.shape[:-2] + (3, 3))

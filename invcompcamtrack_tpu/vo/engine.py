@@ -187,6 +187,41 @@ class VisualOdometry:
 
     # ---------- public API ----------
 
+    def bootstrap_from_images(self, img0, img1, key=None, scale: float = 1.0,
+                              num_matches: int = 512):
+        """GT-free initialization: corners + fb-LK matches -> essential
+        matrix -> relative pose + triangulated seeds (sfm/twoview.py).
+        Monocular scale is fixed to ``scale`` * unit baseline.
+        Returns the number of seed landmarks."""
+        import jax as _jax
+
+        from invcompcamtrack_tpu.sfm.twoview import initialize_two_view
+
+        if key is None:
+            key = _jax.random.PRNGKey(0)
+        cfgt = self.cfg.tracker
+        pyr0 = self._pyr(jnp.asarray(img0, self.dtype))
+        pyr1 = self._pyr(jnp.asarray(img1, self.dtype))
+        xy0, cvalid = shi_tomasi_corners(
+            pyr0[0].img[cfgt.psz:-cfgt.psz, cfgt.psz:-cfgt.psz],
+            max_corners=num_matches, border=cfgt.psz,
+        )
+        xy1, ok = self._lk(pyr0, pyr1, xy0)
+        fc = jnp.asarray(self.fc, self.dtype)
+        cc = jnp.asarray(self.cc, self.dtype)
+        res = initialize_two_view(
+            key, (xy0 - cc) / fc, (xy1 - cc) / fc, cvalid & ok
+        )
+        G1 = lie.se3_exp(res.pose1)
+        c1 = lie.camera_center(G1) * scale
+        t1 = -jnp.einsum("ij,j->i", G1[:, :3], c1)
+        pose1 = lie.se3_log(jnp.concatenate([G1[:, :3], t1[:, None]], axis=1))
+        lms = np.asarray(res.landmarks) * scale
+        valid = np.asarray(res.valid)
+        self.bootstrap(img0, img1, np.zeros(6), np.asarray(pose1),
+                       lms[valid])
+        return int(valid.sum())
+
     def bootstrap(self, img0, img1, pose0, pose1, points3d, valid=None):
         """Initialize with two known poses + landmark seeds (from GT,
         stereo, or two-view SfM done by the caller)."""

@@ -174,3 +174,40 @@ def test_euroc_reader(tmp_path):
     np.testing.assert_allclose(s.timestamps[0], 1403636579.763555584, rtol=1e-9)
     np.testing.assert_allclose(s.gt_positions[0], [4.68, -1.78, 0.78])
     np.testing.assert_allclose(s.gt_quaternions[0], [0.53, -0.15, -0.82, -0.08])
+
+
+def test_two_view_initialization(rng):
+    """Essential-matrix bootstrap: recover relative pose (up to scale)
+    and triangulate seeds from matched normalized points."""
+    from invcompcamtrack_tpu.sfm.twoview import initialize_two_view
+
+    p_gt = np.r_[0.3, -0.1, 0.05, 0.02, -0.03, 0.01]
+    G = geo.se3_exp(p_gt)
+    N = 120
+    X = rng.normal(size=(N, 3)) * 2 + [0, 0, 8]
+    xn0 = X[:, :2] / X[:, 2:3]
+    Xc = X @ G[:, :3].T + G[:, 3]
+    xn1 = Xc[:, :2] / Xc[:, 2:3]
+    noise = 0.3 / 500.0  # ~0.3px at f=500
+    xn0 = xn0 + rng.normal(size=xn0.shape) * noise
+    xn1 = xn1 + rng.normal(size=xn1.shape) * noise
+
+    res = initialize_two_view(jax.random.PRNGKey(0), jnp.asarray(xn0),
+                              jnp.asarray(xn1), jnp.ones(N, bool))
+    assert int(res.num_inliers) > 100
+    assert int(res.valid.sum()) > 90
+    G_est = geo.se3_exp(np.asarray(res.pose1))
+    # rotation must match
+    rot_err = np.degrees(np.arccos(np.clip(
+        (np.trace(G_est[:, :3] @ G[:, :3].T) - 1) / 2, -1, 1)))
+    assert rot_err < 0.5, rot_err
+    # translation direction must match (scale is free)
+    t_est = G_est[:, 3] / np.linalg.norm(G_est[:, 3])
+    t_gt = G[:, 3] / np.linalg.norm(G[:, 3])
+    assert np.dot(t_est, t_gt) > 0.999, np.dot(t_est, t_gt)
+    # triangulated landmarks match GT up to the global scale
+    lm = np.asarray(res.landmarks)
+    v = np.asarray(res.valid)
+    scale = np.median(X[v, 2] / lm[v, 2])
+    err = np.linalg.norm(lm[v] * scale - X[v], axis=1)
+    assert np.median(err) < 0.2, np.median(err)  # noise-limited: ~z^2/(fB) * 0.3px
