@@ -67,6 +67,16 @@ def _box(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     )[0, 0]
 
 
+def _warp_dispatch(img, flow):
+    from invcompcamtrack_tpu.ops.patch_pallas import pallas_available
+
+    if pallas_available(img.dtype):
+        from invcompcamtrack_tpu.ops.warp_pallas import warp_image_pallas
+
+        return warp_image_pallas(img, flow)
+    return warp_image(img, flow)
+
+
 def _lk_refine(I0, I1, flow, iters: int, radius: int, min_det: float):
     Ix, Iy = central_gradients(I0)
     Ix = Ix * 0.5  # central_gradients returns unscaled I[x+1]-I[x-1]
@@ -79,7 +89,7 @@ def _lk_refine(I0, I1, flow, iters: int, radius: int, min_det: float):
     det_safe = jnp.where(good, det, 1.0)
 
     def body(_, flow):
-        It = warp_image(I1, flow) - I0
+        It = _warp_dispatch(I1, flow) - I0
         b1 = _box(Ix * It, radius)
         b2 = _box(Iy * It, radius)
         du = (a22 * b1 - a12 * b2) / det_safe
