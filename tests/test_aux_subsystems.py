@@ -121,3 +121,38 @@ def test_horizon_orientation_recovers_tilt(rng):
     err0 = np.linalg.norm(w_gt)
     err = np.linalg.norm(np.asarray(w_est) - w_gt)
     assert err < err0 * 0.6, (err, err0)
+
+
+def test_checkpointed_loop_resumes(tmp_path, rng):
+    from invcompcamtrack_tpu.parallel.runtime import checkpointed_loop
+
+    calls = []
+
+    def step(state, i):
+        calls.append(i)
+        return {**state, "x": state["x"] + 1.0}
+
+    st = {"x": np.asarray(0.0)}
+    out = checkpointed_loop(step, st, num_steps=7, ckpt_path=tmp_path / "ck",
+                            every=3)
+    assert float(out["x"]) == 7.0
+    # simulate a crash + restart: resumes from the last checkpoint, not 0
+    calls.clear()
+    out2 = checkpointed_loop(step, {"x": np.asarray(0.0)}, num_steps=7,
+                             ckpt_path=tmp_path / "ck", every=3)
+    assert calls == []  # step 7 checkpoint covers all steps
+    assert float(out2["x"]) == 7.0
+    # partial progress: wipe, run 4 steps by checkpointing every 2 then crash
+    out3 = checkpointed_loop(step, {"x": np.asarray(0.0)}, num_steps=4,
+                             ckpt_path=tmp_path / "ck2", every=2)
+    calls.clear()
+    out4 = checkpointed_loop(step, {"x": np.asarray(0.0)}, num_steps=9,
+                             ckpt_path=tmp_path / "ck2", every=2)
+    assert calls == [4, 5, 6, 7, 8]
+    assert float(out4["x"]) == 9.0
+
+
+def test_initialize_distributed_single_process():
+    from invcompcamtrack_tpu.parallel.runtime import initialize_distributed
+
+    assert initialize_distributed() is False  # no-op single process
