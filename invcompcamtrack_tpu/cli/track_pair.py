@@ -54,13 +54,25 @@ def main(argv=None):
     X = jnp.asarray(data.pt3d, jnp.float32)
     p0 = jnp.asarray(data.pose, jnp.float32)
 
+    import jax
+
+    @jax.jit
+    def _track(pa, pb, Xa, pa0):
+        return track_pose(pa, pb, Xa, pa0, cam, cfg, return_aux=True)
+
     def run():
-        return track_pose(pyr_a, pyr_b, X, p0, cam, cfg, return_aux=True)
+        return _track(pyr_a, pyr_b, X, p0)
 
     p_out, aux = run()  # compile + first run
     p_out.block_until_ready()
 
     if cfg.verbosity == 1:
+        # The reference times 1000 repetitions, computes *milliseconds for
+        # the 1000 runs*, and prints that number under a "(musec)" label —
+        # ms/1000-runs is numerically identical to microseconds per run
+        # (reference: run_io_reprojection_test.cpp:209-231, "time in
+        # milliseconds for 1000 runs" / `printf("TIME ... (musec): %3g")`).
+        # tt below is the same quantity: seconds*1e3 over 1000 runs.
         t0 = time.time()
         for _ in range(1000):
             p_out, aux = run()

@@ -137,8 +137,8 @@ def projection_matrix(fc, cc, R: jnp.ndarray, tw: jnp.ndarray) -> jnp.ndarray:
     projection-matrix convention used by the triangulation stack
     (reference: func_util_geom.py:538-545).  tw is the world camera center.
     """
-    fc = jnp.asarray(fc)
-    cc = jnp.asarray(cc)
+    fc = jnp.asarray(fc, R.dtype)
+    cc = jnp.asarray(cc, R.dtype)
     K = jnp.zeros(R.shape[:-2] + (3, 3), dtype=R.dtype)
     K = K.at[..., 0, 0].set(fc[..., 0])
     K = K.at[..., 1, 1].set(fc[..., 1])

@@ -17,6 +17,7 @@ standard JAX one, wrapped thinly here:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional
 
@@ -31,13 +32,21 @@ def initialize_distributed(coordinator: Optional[str] = None,
 
     With no arguments JAX autodetects (TPU pod metadata / env vars);
     single-process environments return immediately.
+
+    The single-vs-multi-process decision is made from the environment
+    alone (coordinator env vars / pod metadata hints), never by touching
+    the JAX backend: ``jax.distributed.initialize`` must run *before*
+    the backend is created, so probing ``jax.process_count()`` here
+    would self-defeat the multi-host path.
     """
     if num_processes in (None, 1) and coordinator is None:
-        try:
-            if jax.process_count() <= 1:
-                return False
-        except RuntimeError:
-            pass
+        multiproc_hints = (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES", "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
+        )
+        if not any(os.environ.get(k) for k in multiproc_hints):
+            return False
     last = None
     for _ in range(retries):
         try:

@@ -34,6 +34,13 @@ def save_checkpoint(path, tree: Dict[str, Any]) -> None:
         tmp = path.with_suffix(".npz.tmp")
         np.savez_compressed(tmp, **_to_numpy_tree(tree))
         tmp.rename(path.with_suffix(".npz"))
+        # drop any stale orbax checkpoint so restore cannot silently
+        # prefer an older state over this newer npz fallback
+        orbax_path = path.with_suffix(".orbax")
+        if orbax_path.exists():
+            import shutil
+
+            shutil.rmtree(orbax_path, ignore_errors=True)
 
 
 def restore_checkpoint(path) -> Dict[str, np.ndarray]:

@@ -50,40 +50,46 @@ def dcm2quat(R: np.ndarray) -> np.ndarray:
     return -q if q[0] < 0 else q
 
 
+def skew(x: np.ndarray) -> np.ndarray:
+    """Cross-product matrix [x]× of a 3-vector."""
+    x = np.asarray(x, float)
+    return np.array([
+        [0.0, -x[2], x[1]],
+        [x[2], 0.0, -x[0]],
+        [-x[1], x[0], 0.0],
+    ])
+
+
 def rodrigues(x: np.ndarray) -> np.ndarray:
     """Axis-angle -> rotation (reference: func_util_geom.py:104-116)."""
     x = np.asarray(x, float)
     a = np.linalg.norm(x)
-    C = np.array([[0, -x[2], x[1]], [x[2], 0, -x[0]], [-x[1], x[0], 0]])
     if a == 0:
         return np.eye(3)
+    C = skew(x)
     return np.eye(3) + np.sin(a) / a * C + (1 - np.cos(a)) / a**2 * (C @ C)
 
 
 def android_rotvec_to_dcm(rv: np.ndarray, orthonormalize: bool = False) -> np.ndarray:
-    """Android rotation vector (x, y, z[, w]) -> rotation matrix —
-    the reference's EXACT arithmetic (func_util_geom.py:146-186):
-    3-component input reconstructs ``q0 = 1 - |v|^2`` (no sqrt — the
-    Android SDK quirk the reference copies), and the quadratic form is
-    applied without normalizing, so the result is only approximately
-    orthonormal; pass ``orthonormalize=True`` for the SVD cleanup the
-    reference applies at its call sites.
+    """Android rotation vector (x, y, z[, w]) -> rotation matrix.
+
+    Semantics follow the Android SDK convention the reference adopts
+    (behavioral spec: func_util_geom.py:146-186): a 3-component input
+    reconstructs the scalar part as ``q0 = 1 - |v|^2`` — *without* the
+    sqrt, an SDK quirk kept for parity — and the quadratic form is
+    applied to the possibly-non-unit quaternion as-is, so the result is
+    only approximately orthonormal; ``orthonormalize=True`` applies the
+    SVD cleanup used at the reference's call sites.
+
+    Implemented via the skew-form identity
+    ``R = I + 2 q0 [v]x + 2 [v]x^2``, which expands to exactly the
+    SDK's elementwise quadratic form.
     """
     rv = np.asarray(rv, float)
-    q1, q2, q3 = rv[0], rv[1], rv[2]
-    if rv.shape[0] == 4:
-        q0 = rv[3]
-    else:
-        q0 = max(0.0, 1.0 - q1 * q1 - q2 * q2 - q3 * q3)
-    sq_q1, sq_q2, sq_q3 = 2 * q1 * q1, 2 * q2 * q2, 2 * q3 * q3
-    q1_q2, q3_q0 = 2 * q1 * q2, 2 * q3 * q0
-    q1_q3, q2_q0 = 2 * q1 * q3, 2 * q2 * q0
-    q2_q3, q1_q0 = 2 * q2 * q3, 2 * q1 * q0
-    R = np.array([
-        [1 - sq_q2 - sq_q3, q1_q2 - q3_q0, q1_q3 + q2_q0],
-        [q1_q2 + q3_q0, 1 - sq_q1 - sq_q3, q2_q3 - q1_q0],
-        [q1_q3 - q2_q0, q2_q3 + q1_q0, 1 - sq_q1 - sq_q2],
-    ])
+    v = rv[:3]
+    q0 = rv[3] if rv.shape[0] == 4 else max(0.0, 1.0 - float(v @ v))
+    C = skew(v)
+    R = np.eye(3) + 2.0 * q0 * C + 2.0 * (C @ C)
     if orthonormalize:
         U, _, Vt = np.linalg.svd(R)
         R = U @ Vt
@@ -93,21 +99,28 @@ def android_rotvec_to_dcm(rv: np.ndarray, orthonormalize: bool = False) -> np.nd
 def integrate_gyro(timestamps: np.ndarray, rates: np.ndarray,
                    orthonormalize: bool = True) -> np.ndarray:
     """Integrate body-frame angular rates into an orientation sequence
-    (reference: func_android_rotM_from_gyroscope,
-    func_util_geom.py:118-144).  Returns (T, 3, 3) with R[0] = I."""
-    T = timestamps.shape[0]
-    out = np.zeros((T, 3, 3))
+    (behavioral spec: func_android_rotM_from_gyroscope,
+    func_util_geom.py:118-144).  Returns (T, 3, 3) with R[0] = I.
+
+    Per-step axis-angle deltas are built vectorized as unit wxyz
+    quaternions (for which the Android quadratic form reduces to the
+    standard one), then chained by right-multiplication (body rates).
+    """
+    t = np.asarray(timestamps, float)
+    w = np.asarray(rates, float)[: max(t.shape[0] - 1, 0)]
+    half = 0.5 * np.linalg.norm(w, axis=1) * np.diff(t)
+    mag = np.linalg.norm(w, axis=1, keepdims=True)
+    axis = np.divide(w, mag, out=np.zeros_like(w), where=mag > 0)
+    dq = np.column_stack([np.cos(half), np.sin(half)[:, None] * axis])
+
+    out = np.zeros((t.shape[0], 3, 3))
     out[0] = np.eye(3)
-    for i in range(T - 1):
-        dt = timestamps[i + 1] - timestamps[i]
-        w = np.asarray(rates[i], float).copy()
-        mag = np.linalg.norm(w)
-        if mag > 0:
-            w /= mag
-        half = mag * dt / 2.0
-        dq = np.array([np.sin(half) * w[0], np.sin(half) * w[1],
-                       np.sin(half) * w[2], np.cos(half)])
-        out[i + 1] = out[i] @ android_rotvec_to_dcm(dq, orthonormalize)
+    for i, q in enumerate(dq):
+        R = quat2dcm(q)
+        if orthonormalize:
+            U, _, Vt = np.linalg.svd(R)
+            R = U @ Vt
+        out[i + 1] = out[i] @ R
     return out
 
 

@@ -64,6 +64,14 @@ Image decode_pnm(const char* path) {
   img.w = atoi(ws.c_str());
   img.h = atoi(hs.c_str());
   const long maxv = atol(maxs.c_str());
+  // Validate header before allocating: a malformed/hostile header must
+  // surface as a decode error through the C ABI, not a bad_alloc abort.
+  if (img.w <= 0 || img.h <= 0 || maxv <= 0 || maxv > 65535 ||
+      static_cast<long long>(img.w) * img.h > (1LL << 28)) {
+    fclose(f);
+    img.w = img.h = 0;
+    return img;
+  }
   const size_t n = static_cast<size_t>(img.w) * img.h;
   img.data.resize(n);
 
@@ -113,7 +121,7 @@ Image decode_pnm(const char* path) {
 struct Prefetcher {
   std::vector<std::string> paths;
   std::vector<Image> slots;
-  std::vector<std::atomic<int>> state;  // 0 pending, 1 loading, 2 done
+  std::vector<std::atomic<int>> state;  // 0 pending, 1 loading, 2 done, 3 released
   std::vector<std::thread> workers;
   std::atomic<size_t> next{0};
   std::atomic<bool> stop{false};
@@ -179,14 +187,24 @@ void* icct_prefetch_create(const char** paths, int n, int n_threads) {
 }
 
 // Blocks until frame idx is decoded; returns 0 and fills *w,*h.
+// A previously released frame (state 3) is transparently re-decoded.
 int icct_prefetch_query(void* handle, int idx, int* w, int* h) {
   auto* pf = static_cast<Prefetcher*>(handle);
   if (idx < 0 || static_cast<size_t>(idx) >= pf->paths.size()) return -1;
-  // steal the work if no worker picked it yet
+  // steal the work if no worker picked it yet (0->1), or re-decode a
+  // released slot (3->1)
   int expected = 0;
-  if (pf->state[idx].compare_exchange_strong(expected, 1)) {
+  bool steal = pf->state[idx].compare_exchange_strong(expected, 1);
+  if (!steal) {
+    expected = 3;
+    steal = pf->state[idx].compare_exchange_strong(expected, 1);
+  }
+  if (steal) {
     pf->slots[idx] = decode_pnm(pf->paths[idx].c_str());
     pf->state[idx].store(2);
+    // wake any concurrent waiter on the same index
+    std::lock_guard<std::mutex> lk(pf->mu);
+    pf->cv.notify_all();
   } else {
     std::unique_lock<std::mutex> lk(pf->mu);
     pf->cv.wait(lk, [&] { return pf->state[idx].load() == 2; });
@@ -199,12 +217,15 @@ int icct_prefetch_query(void* handle, int idx, int* w, int* h) {
 
 int icct_prefetch_fetch(void* handle, int idx, float* out, int release) {
   auto* pf = static_cast<Prefetcher*>(handle);
+  // state 3 (released) must error rather than hand back a cleared
+  // buffer: callers re-query to force a re-decode
   if (pf->state[idx].load() != 2 || !pf->slots[idx].ok) return -1;
   std::memcpy(out, pf->slots[idx].data.data(),
               pf->slots[idx].data.size() * sizeof(float));
   if (release) {
     pf->slots[idx].data.clear();
     pf->slots[idx].data.shrink_to_fit();
+    pf->state[idx].store(3);
   }
   return 0;
 }

@@ -50,6 +50,39 @@ def test_track_pair_cli(rng, tmp_path):
     assert err < 5e-3, err
 
 
+def test_track_pair_cli_timing_mode(rng, tmp_path, capsys):
+    """verbosity==1 repeats tracking 1000x and prints the reference's
+    timing line.  The printed value is ms-for-1000-runs, which the
+    reference itself labels "(musec)" because it equals microseconds per
+    run (reference: run_io_reprojection_test.cpp:209-231)."""
+    scene, poses, imgs, X = _scene_setup(rng, 2)
+    pa, pb = tmp_path / "a.png", tmp_path / "b.png"
+    img_io.save_gray(pa, imgs[0])
+    img_io.save_gray(pb, imgs[1])
+    uv, _ = geo.project(geo.se3_exp(poses[0]), X, *scene.fc, *scene.cc)
+    infile, outfile = tmp_path / "in.bin", tmp_path / "out.bin"
+    io.write_pointcam(infile, io.PointCamFile(
+        pose=poses[0], fc=np.asarray(scene.fc, np.float32),
+        cc=np.asarray(scene.cc, np.float32),
+        wh=np.asarray(scene.wh, np.uint32),
+        pt3d=X, pt2d=uv.astype(np.float32),
+    ))
+    rc = cli_pair.main([str(pa), str(pb), str(infile), str(outfile),
+                        "2", "0", "8", "2", "0.01", "1", "0", "100", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = [l for l in out.splitlines()
+            if l.startswith("TIME (pose tracking) (musec):")]
+    assert len(line) == 1
+    us_per_run = float(line[0].split(":")[1])
+    assert us_per_run > 0
+    # sanity: 1000 runs of a tiny problem stay under 5 minutes, so the
+    # per-run figure must be < 3e5 us — catches a 1000x unit slip
+    assert us_per_run < 3e5
+    # and the pose result file is still written in timing mode
+    assert io.read_pose_result(str(outfile)).shape == (6,)
+
+
 def test_track_nposes_cli(rng, tmp_path):
     scene, poses, imgs, X = _scene_setup(rng, 3)
     files = []

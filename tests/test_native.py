@@ -57,6 +57,30 @@ def test_prefetcher_matches_sync_decode(rng, tmp_path):
     pf.close()
 
 
+def test_prefetcher_refetch_after_release(rng, tmp_path):
+    """A released slot must re-decode on the next get, never hand back
+    an uninitialized buffer (round-1 advisor finding)."""
+    img = rng.integers(0, 255, size=(10, 13)).astype(np.uint8)
+    p = tmp_path / "f.pgm"
+    _write_pgm(p, img)
+    pf = native.SequencePrefetcher([p], num_threads=1)
+    first = pf.get(0, release=True)
+    second = pf.get(0, release=True)  # slot was released: must re-decode
+    np.testing.assert_array_equal(first, img.astype(np.float32))
+    np.testing.assert_array_equal(second, img.astype(np.float32))
+    pf.close()
+
+
+def test_decode_rejects_malformed_header(tmp_path):
+    """Hostile/corrupt headers surface as IOError, not bad_alloc."""
+    for body in [b"P5\n-3 7\n255\n", b"P5\n70000 70000\n255\n",
+                 b"P5\n4 4\n0\n"]:
+        p = tmp_path / "bad.pgm"
+        p.write_bytes(body + b"\x00" * 16)
+        with pytest.raises(IOError):
+            native.decode_pnm(p)
+
+
 def test_native_pointcam_matches_python(rng, tmp_path):
     data = io.PointCamFile(
         pose=rng.normal(size=6),
