@@ -20,17 +20,29 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from invcompcamtrack_tpu.ba.window import BAProblem, _jacobians, ba_residuals
+from invcompcamtrack_tpu.ba.window import (
+    BAProblem,
+    _jacobians,
+    ba_residuals,
+    huber_weights,
+)
 from invcompcamtrack_tpu.sfm.triangulate import sym3x3_inverse
 
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _local_step(prob: BAProblem, damp, axis: str):
-    """One damped GN step on a landmark shard; psums over `axis`."""
+def _local_step(prob: BAProblem, damp, axis: str,
+                huber_delta: float | None = None):
+    """One damped (optionally Huber-IRLS) GN step on a landmark shard;
+    psums over `axis`."""
     K = prob.poses.shape[0]
     res, _ = ba_residuals(prob)  # local residuals (masked)
     Jp, Jx = _jacobians(prob)
+    if huber_delta is not None:
+        sw = jnp.sqrt(huber_weights(res, prob.mask, huber_delta))
+        res = res * sw[..., None]
+        Jp = Jp * sw[..., None, None]
+        Jx = Jx * sw[..., None, None]
     Jp = Jp * (~prob.fixed_pose_mask)[:, None, None, None]
 
     Hpp = jax.lax.psum(
@@ -74,16 +86,25 @@ def _local_step(prob: BAProblem, damp, axis: str):
     return dpose, dlm
 
 
-def _masked_msq(prob: BAProblem, axis: str):
+def _masked_msq(prob: BAProblem, axis: str,
+                huber_delta: float | None = None):
     res, _ = ba_residuals(prob)
-    s = jax.lax.psum(jnp.sum(res * res), axis)
+    if huber_delta is None:
+        cost = jnp.sum(res * res)
+    else:
+        rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-24)
+        rho = jnp.where(rn <= huber_delta, rn * rn,
+                        huber_delta * (2.0 * rn - huber_delta))
+        cost = jnp.sum(rho * prob.mask)
+    s = jax.lax.psum(cost, axis)
     cnt = jax.lax.psum(jnp.sum(prob.mask), axis)
     return s / (2.0 * jnp.maximum(cnt, 1))
 
 
 def ba_solve_sharded(prob: BAProblem, mesh: Mesh, num_iters: int = 10,
                      damp_init: float = 1e-3, damp_up: float = 10.0,
-                     damp_down: float = 10.0, axis: str = "model"):
+                     damp_down: float = 10.0, axis: str = "model",
+                     huber_delta: float | None = None):
     """Distributed LM loop.  The landmark dimension L of ``prob`` must be
     divisible by the mesh axis size; observations/mask shard with it.
 
@@ -104,14 +125,14 @@ def ba_solve_sharded(prob: BAProblem, mesh: Mesh, num_iters: int = 10,
             poses=poses, landmarks=landmarks, obs=obs, mask=mask,
             fixed_pose_mask=fixed,
         )
-        err0 = _masked_msq(local, axis)
+        err0 = _masked_msq(local, axis, huber_delta)
 
         def step(carry, _):
             ps, lms, damp, err = carry
             cur = local._replace(poses=ps, landmarks=lms)
-            dpose, dlm = _local_step(cur, damp, axis)
+            dpose, dlm = _local_step(cur, damp, axis, huber_delta)
             cand = local._replace(poses=ps + dpose, landmarks=lms + dlm)
-            err_new = _masked_msq(cand, axis)
+            err_new = _masked_msq(cand, axis, huber_delta)
             ok = err_new < err
             ps = jnp.where(ok, cand.poses, ps)
             lms = jnp.where(ok, cand.landmarks, lms)

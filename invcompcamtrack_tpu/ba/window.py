@@ -56,8 +56,13 @@ def _project_one(p, X, fx, fy, cx, cy):
     return jnp.stack([Xc[0] / Xc[2] * fx + cx, Xc[1] / Xc[2] * fy + cy])
 
 
-def ba_residuals(prob: BAProblem):
-    """(K, L, 2) masked residuals obs - proj and the mean squared error."""
+def ba_residuals(prob: BAProblem, huber_delta: float | None = None):
+    """(K, L, 2) masked residuals obs - proj and the mean cost.
+
+    With ``huber_delta`` the cost is the Huber robust loss on the
+    per-observation residual norm (quadratic inside delta, linear
+    outside); the residual tensor itself is returned unweighted.
+    """
     proj = jax.vmap(
         lambda p: jax.vmap(
             lambda X: _project_one(p, X, prob.fx, prob.fy, prob.cx, prob.cy)
@@ -65,7 +70,18 @@ def ba_residuals(prob: BAProblem):
     )(prob.poses)
     res = (prob.obs - proj) * prob.mask[..., None]
     cnt = jnp.maximum(jnp.sum(prob.mask), 1)
-    return res, jnp.sum(res * res) / (2.0 * cnt)
+    if huber_delta is None:
+        return res, jnp.sum(res * res) / (2.0 * cnt)
+    rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-24)
+    rho = jnp.where(rn <= huber_delta, rn * rn,
+                    huber_delta * (2.0 * rn - huber_delta))
+    return res, jnp.sum(rho * prob.mask) / (2.0 * cnt)
+
+
+def huber_weights(res: jnp.ndarray, mask: jnp.ndarray, delta: float):
+    """(K, L) IRLS weights w = min(1, delta/|r|) of the Huber loss."""
+    rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-24)
+    return jnp.where(rn <= delta, 1.0, delta / rn) * mask
 
 
 def _jacobians(prob: BAProblem):
@@ -83,14 +99,22 @@ def _jacobians(prob: BAProblem):
     return jp * m, jx * m
 
 
-def _schur_step(prob: BAProblem, damp):
+def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None):
     """One damped GN step via Schur elimination of the landmarks.
 
+    With ``huber_delta``, IRLS reweighting (sqrt-weights folded into the
+    residuals and Jacobians) turns the step into a robust GN step.
     Returns (dpose (K,6), dlm (L,3)).
     """
     K, L = prob.mask.shape
     res, _ = ba_residuals(prob)
     Jp, Jx = _jacobians(prob)
+
+    if huber_delta is not None:
+        sw = jnp.sqrt(huber_weights(res, prob.mask, huber_delta))
+        res = res * sw[..., None]
+        Jp = Jp * sw[..., None, None]
+        Jx = Jx * sw[..., None, None]
 
     # zero Jacobians of fixed poses => their update is exactly 0 and the
     # damped diagonal keeps S invertible
@@ -139,18 +163,22 @@ def _schur_step(prob: BAProblem, damp):
 
 
 def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
-             damp_up: float = 10.0, damp_down: float = 10.0):
+             damp_up: float = 10.0, damp_down: float = 10.0,
+             huber_delta: float | None = None):
     """Levenberg-Marquardt loop with accept/reject on the total error.
 
+    ``huber_delta`` (pixels) turns on Huber-robust IRLS weighting —
+    outlier observations beyond delta contribute linearly, so a bad
+    correspondence cannot drag the window.
     Returns (poses, landmarks, info) with info = (final msq, initial msq).
     """
 
     def step(carry, _):
         poses, lms, damp, err = carry
         p0 = prob._replace(poses=poses, landmarks=lms)
-        dpose, dlm = _schur_step(p0, damp)
+        dpose, dlm = _schur_step(p0, damp, huber_delta)
         cand = prob._replace(poses=poses + dpose, landmarks=lms + dlm)
-        _, err_new = ba_residuals(cand)
+        _, err_new = ba_residuals(cand, huber_delta)
         ok = err_new < err
         poses = jnp.where(ok, cand.poses, poses)
         lms = jnp.where(ok, cand.landmarks, lms)
@@ -158,7 +186,7 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
         err = jnp.where(ok, err_new, err)
         return (poses, lms, damp, err), err
 
-    _, err0 = ba_residuals(prob)
+    _, err0 = ba_residuals(prob, huber_delta)
     (poses, lms, _, err), _ = jax.lax.scan(
         step,
         (prob.poses, prob.landmarks, jnp.asarray(damp_init, prob.poses.dtype), err0),

@@ -118,11 +118,18 @@ def _inb(p, W, H):
 
 
 def lk_forward_backward(pyr_a: Pyramid, pyr_b: Pyramid, xy: jnp.ndarray,
-                        ratio_th: float = 0.2, abs_th: float = 1.0, **kw):
+                        ratio_th: float = 0.2, abs_th: float = 1.0,
+                        init_xy: jnp.ndarray | None = None, **kw):
     """Forward/backward verified tracking — same gate as the flow-transfer
-    tracker (reference: classoftrack.py:85-93).  Returns (xy_b, valid)."""
-    xy_b, ok_f = track_points_lk(pyr_a, pyr_b, xy, **kw)
-    xy_back, ok_b = track_points_lk(pyr_b, pyr_a, xy_b, **kw)
+    tracker (reference: classoftrack.py:85-93).  Returns (xy_b, valid).
+
+    ``init_xy`` seeds only the forward pass (an expected position in B,
+    e.g. a reprojection); the backward pass is seeded at the original
+    ``xy``, which is the correct prior for the return trip.
+    """
+    xy_b, ok_f = track_points_lk(pyr_a, pyr_b, xy, init_xy=init_xy, **kw)
+    back_init = xy if init_xy is not None else None
+    xy_back, ok_b = track_points_lk(pyr_b, pyr_a, xy_b, init_xy=back_init, **kw)
     err = jnp.linalg.norm(xy - xy_back, axis=1)
     disp = jnp.linalg.norm(xy - xy_b, axis=1)
     gate = (err / jnp.maximum(disp, 1e-12) < ratio_th) & (err < abs_th)

@@ -40,12 +40,16 @@ def initialize_distributed(coordinator: Optional[str] = None,
     would self-defeat the multi-host path.
     """
     if num_processes in (None, 1) and coordinator is None:
-        multiproc_hints = (
+        strong_hints = (
             "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
             "JAX_NUM_PROCESSES", "MEGASCALE_COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES", "CLOUD_TPU_TASK_ID",
         )
-        if not any(os.environ.get(k) for k in multiproc_hints):
+        # TPU_WORKER_HOSTNAMES counts only when it actually lists more
+        # than one host (single-host runtimes set it to "localhost")
+        worker_hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multiproc = any(os.environ.get(k) for k in strong_hints) or \
+            ("," in worker_hosts)
+        if not multiproc:
             return False
     last = None
     for _ in range(retries):

@@ -56,37 +56,38 @@ def restore_checkpoint(path) -> Dict[str, np.ndarray]:
 
 
 def vo_state_dict(vo) -> Dict[str, Any]:
-    """Extract the checkpointable state of a VisualOdometry engine."""
-    return {
-        "landmarks": vo.landmarks,
-        "lm_valid": vo.lm_valid,
-        "kf_poses": vo.kf_poses,
-        "kf_valid": np.asarray(vo.kf_valid),
-        "kf_obs": vo.kf_obs,
-        "kf_obs_mask": vo.kf_obs_mask,
-        "cur_pose": vo.cur_pose,
-        "frame_idx": np.asarray(vo.frame_idx),
-        "trajectory": np.asarray(vo.trajectory) if vo.trajectory
-        else np.zeros((0, 3)),
-        "last_kf_slot": np.asarray(
-            -1 if vo._last_kf_slot is None else vo._last_kf_slot
-        ),
-    }
+    """Extract the checkpointable state of a VisualOdometry engine.
+
+    The full device state — including the keyframe pyramid stacks — is
+    flattened into a flat dict, so a restored engine continues
+    bit-exactly without re-feeding images."""
+    import jax
+
+    leaves, _ = jax.tree.flatten(vo.state)
+    out = {f"state_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    out["frame_idx_host"] = np.asarray(vo._frame_idx)
+    out["trajectory"] = (np.asarray(vo.trajectory) if vo.trajectory
+                         else np.zeros((0, 3)))
+    return out
 
 
 def restore_vo_state(vo, state: Dict[str, np.ndarray]) -> None:
-    """Load a checkpoint back into an engine (pyramids are NOT part of
-    the checkpoint — the caller re-feeds the current keyframe images)."""
+    """Load a checkpoint back into an engine.  The engine must be
+    constructed with the same config + camera (tree structure must
+    match); its ``state`` is rebuilt from the flattened leaves."""
+    import jax
     import jax.numpy as jnp
 
-    vo.landmarks = jnp.asarray(state["landmarks"])
-    vo.lm_valid = jnp.asarray(state["lm_valid"])
-    vo.kf_poses = jnp.asarray(state["kf_poses"])
-    vo.kf_valid = np.asarray(state["kf_valid"])
-    vo.kf_obs = jnp.asarray(state["kf_obs"])
-    vo.kf_obs_mask = jnp.asarray(state["kf_obs_mask"])
-    vo.cur_pose = jnp.asarray(state["cur_pose"])
-    vo.frame_idx = int(state["frame_idx"])
+    if vo.state is None:
+        # build a template with the right pytree structure; leaf 7 is the
+        # level-0 keyframe image stack (K, H+2p, W+2p) in VOState order
+        h = int(np.asarray(state["state_7"]).shape[1])
+        w = int(np.asarray(state["state_7"]).shape[2])
+        pad = vo.cfg.tracker.psz
+        vo.state = vo._empty_state((w - 2 * pad, h - 2 * pad))
+    _, treedef = jax.tree.flatten(vo.state)
+    n = treedef.num_leaves
+    leaves = [jnp.asarray(state[f"state_{i}"]) for i in range(n)]
+    vo.state = jax.tree.unflatten(treedef, leaves)
+    vo._frame_idx = int(state["frame_idx_host"])
     vo.trajectory = [c for c in np.asarray(state["trajectory"])]
-    slot = int(state["last_kf_slot"])
-    vo._last_kf_slot = None if slot < 0 else slot

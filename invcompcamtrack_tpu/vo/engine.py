@@ -1,4 +1,4 @@
-"""The monocular visual-odometry engine.
+"""The monocular visual-odometry engine — fused TPU frame steps.
 
 Frame loop (SURVEY.md §7 layer 6): pyramid -> IC-GN pose tracking
 against the last keyframe's map points -> keyframe policy -> LK track +
@@ -10,16 +10,35 @@ frame and compares against GT; BA is an explicit TODO,
 run_test_OF_track.py:449-451) — this engine is the integrated,
 self-contained completion of that pipeline.
 
-Design: a host-side orchestrator over jitted fixed-shape steps.
-The map is a fixed-capacity landmark table (capacity ``max_landmarks``)
-with validity masks; the BA window holds ``window`` keyframes.  All
-device steps compile once (shapes never change frame to frame).
+Design (round 2 — fully fused):
+
+- ALL engine state lives in one fixed-shape device pytree ``VOState``
+  (landmark table, keyframe ring, observation grid, keyframe pyramid
+  stacks).  A frame is processed by exactly ONE jitted program:
+  ``_track_step`` for ordinary frames, ``_keyframe_step`` for keyframe
+  frames (track + re-observe + triangulate + BA fused).  Host code only
+  chooses which program to dispatch (the keyframe cadence is static).
+- ``run_frames`` goes further: a ``lax.scan`` over keyframe periods
+  processes a whole image chunk in a single dispatch — the engine-level
+  throughput path (the host never syncs inside a chunk).
+- Bundle adjustment consumes MEASURED observations: at every keyframe,
+  landmark patches are LK-tracked (forward/backward verified) from the
+  previous keyframe into the new one, so the observation grid holds
+  pixel measurements, not reprojections of the current state.  BA is
+  Huber-robust (``VOConfig.huber_px``).
+- Landmark lifecycle: a landmark that fails re-observation
+  ``max_obs_fail`` consecutive keyframes while expected visible is
+  retired and its slot freed for new triangulations — the fixed-capacity
+  analogue of the reference's dead-track compaction
+  (reference: misc_src/classoftrack.py:96-100).
+- Keyframes live in a ring: promoting overwrites the oldest slot; the
+  two newest poses float in BA, everything else is the gauge anchor.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -31,7 +50,7 @@ from invcompcamtrack_tpu.config import ICGNParams
 from invcompcamtrack_tpu.core import lie
 from invcompcamtrack_tpu.core import pose as pose_ops
 from invcompcamtrack_tpu.core.camera import CameraPyramid
-from invcompcamtrack_tpu.image.pyramid import build_pyramid
+from invcompcamtrack_tpu.image.pyramid import Pyramid, PyramidLevel, build_pyramid
 from invcompcamtrack_tpu.match.features import shi_tomasi_corners
 from invcompcamtrack_tpu.match.lk import lk_forward_backward
 from invcompcamtrack_tpu.sfm.triangulate import triangulate_dlt, triangulate_gn
@@ -42,242 +61,287 @@ from invcompcamtrack_tpu.solver.icgn import track_pose
 class VOConfig:
     tracker: ICGNParams = dataclasses.field(default_factory=ICGNParams)
     max_landmarks: int = 512
-    window: int = 5              # BA keyframe window
+    window: int = 5              # BA keyframe window (ring size)
     keyframe_stride: int = 2     # promote every k-th frame to keyframe
     ba_iters: int = 6
     min_parallax_px: float = 2.0  # parallax needed to triangulate
     lk_psz: int = 8
     corners_per_kf: int = 512
+    huber_px: float = 1.5        # BA Huber loss width (pixels)
+    reobs_gate_px: float = 4.0   # reprojection gate on measured re-observations
+    ba_obs_gate_px: float = 10.0  # hard residual gate: gross outlier obs are
+    #                               rejected from the window before BA
+    max_obs_fail: int = 2        # consecutive failures before retirement
+    min_kf_for_ba: int = 3
+    min_lm_for_ba: int = 12
 
 
-class VisualOdometry:
-    """Stateful host orchestrator; all compute in jitted device steps."""
+class VOState(NamedTuple):
+    """Full engine state — a fixed-shape device pytree."""
 
-    def __init__(self, cam: CameraPyramid, fc, cc, cfg: VOConfig | None = None,
-                 dtype=jnp.float32):
-        self.cam = cam
-        self.cfg = cfg or VOConfig()
-        self.fc = fc
-        self.cc = cc
-        self.dtype = dtype
+    landmarks: jnp.ndarray    # (L, 3)
+    lm_valid: jnp.ndarray     # (L,) bool
+    lm_fail: jnp.ndarray      # (L,) int32 consecutive re-observation failures
+    kf_poses: jnp.ndarray     # (K, 6)
+    kf_valid: jnp.ndarray     # (K,) bool
+    kf_obs: jnp.ndarray       # (K, L, 2) MEASURED pixel observations
+    kf_obs_mask: jnp.ndarray  # (K, L) bool
+    kf_pyr: Tuple[PyramidLevel, ...]  # per level: fields (K, H_s, W_s)
+    kf_ptr: jnp.ndarray       # () int32, newest keyframe slot
+    cur_pose: jnp.ndarray     # (6,)
+    frame_idx: jnp.ndarray    # () int32
 
-        L = self.cfg.max_landmarks
-        K = self.cfg.window
-        self.landmarks = jnp.zeros((L, 3), dtype)
-        self.lm_valid = jnp.zeros((L,), bool)
-        self.kf_poses = jnp.zeros((K, 6), dtype)
-        self.kf_valid = np.zeros((K,), bool)
-        self.kf_obs = jnp.zeros((K, L, 2), dtype)
-        self.kf_obs_mask = jnp.zeros((K, L), bool)
-        self.kf_pyramids = [None] * K
 
-        self.cur_pose = jnp.zeros((6,), dtype)
-        self.frame_idx = 0
-        self.trajectory: list[np.ndarray] = []
-        self._last_kf_slot: Optional[int] = None
+# ---------------------------------------------------------------------------
+# pyramid-ring helpers
 
-        cfgt = self.cfg.tracker
-        self._track = jax.jit(
-            lambda pa, pb, X, p, m: track_pose(pa, pb, X, p, cam, cfgt,
-                                               point_mask=m)
-        )
-        self._pyr = jax.jit(
-            lambda img: build_pyramid(img, cfgt.num_levels, cfgt.psz)
-        )
-        self._corners = jax.jit(
-            lambda img: shi_tomasi_corners(img, max_corners=self.cfg.corners_per_kf,
-                                           border=cfgt.psz)
-        )
-        self._lk = jax.jit(
-            lambda pa, pb, xy: lk_forward_backward(
-                pa, pb, xy, psz=self.cfg.lk_psz, num_levels=cfgt.num_levels
-            )
-        )
-        self._ba = jax.jit(
-            lambda prob: ba_solve(prob, num_iters=self.cfg.ba_iters)
-        )
 
-    # ---------- internals ----------
+def _index_pyr(kf_pyr, slot) -> Pyramid:
+    """Select one keyframe's pyramid out of the (K, ...) stacks."""
+    return jax.tree.map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, slot, 0, keepdims=False),
+        kf_pyr,
+    )
 
-    def _observe(self, pose, pyr):
-        """Project valid landmarks; return (uv, visible-mask)."""
-        fx, fy, cx, cy, swo, sho = self.cam.level(0)
-        G = lie.se3_exp(pose)
-        uv = pose_ops.project_points(G, self.landmarks, fx, fy, cx, cy)
-        vis = pose_ops.in_frustum(uv, swo, sho) & self.lm_valid
-        return uv, vis
 
-    def _promote_keyframe(self, pyr, pose):
-        K = self.cfg.window
-        slot = self.frame_idx // self.cfg.keyframe_stride % K
+def _update_pyr(kf_pyr, slot, pyr: Pyramid):
+    """Write one pyramid into slot of the (K, ...) stacks."""
+    return jax.tree.map(
+        lambda stack, lvl: jax.lax.dynamic_update_index_in_dim(
+            stack, lvl.astype(stack.dtype), slot, 0
+        ),
+        kf_pyr, tuple(pyr),
+    )
 
-        # ---- triangulate new landmarks from the previous keyframe ----
-        if self._last_kf_slot is not None:
-            prev = self._last_kf_slot
-            pyr_prev = self.kf_pyramids[prev]
-            pose_prev = self.kf_poses[prev]
-            xy0, cvalid = self._corners(pyr_prev[0].img[
-                self.cfg.tracker.psz:-self.cfg.tracker.psz,
-                self.cfg.tracker.psz:-self.cfg.tracker.psz,
-            ])
-            xy1, ok = self._lk(pyr_prev, pyr, xy0)
-            parallax = jnp.linalg.norm(xy1 - xy0, axis=1)
-            good = cvalid & ok & (parallax > self.cfg.min_parallax_px)
 
-            G0 = lie.se3_exp(pose_prev)
-            G1 = lie.se3_exp(pose)
-            P0 = pose_ops.projection_matrix(
-                self.fc, self.cc, G0[:, :3], lie.camera_center(G0))
-            P1 = pose_ops.projection_matrix(
-                self.fc, self.cc, G1[:, :3], lie.camera_center(G1))
-            P = jnp.broadcast_to(jnp.stack([P0, P1]), (xy0.shape[0], 2, 3, 4))
-            obs = jnp.stack([xy0, xy1], axis=1)
-            X_new, _ = triangulate_dlt(
-                P, obs, R0=G0[:, :3], c0=lie.camera_center(G0))
-            X_new, _ = triangulate_gn(P, obs, jnp.nan_to_num(X_new), num_iters=3)
-            depth_ok = (
-                (pose_ops.transform_points(G1, X_new)[..., 2] > 0.05)
-                & jnp.all(jnp.isfinite(X_new), axis=1)
-            )
-            good = good & depth_ok
+def _row_set(arr, slot, row):
+    return jax.lax.dynamic_update_index_in_dim(
+        arr, row.astype(arr.dtype), slot, 0
+    )
 
-            # fill free landmark slots
-            self.landmarks, self.lm_valid = _fill_slots(
-                self.landmarks, self.lm_valid, X_new, good)
 
-        # ---- record keyframe ----
-        uv, vis = self._observe(pose, pyr)
-        self.kf_poses = self.kf_poses.at[slot].set(pose)
-        self.kf_obs = self.kf_obs.at[slot].set(uv)
-        self.kf_obs_mask = self.kf_obs_mask.at[slot].set(vis)
-        self.kf_pyramids[slot] = pyr
-        self.kf_valid[slot] = True
-        self._last_kf_slot = slot
+def _row_get(arr, slot):
+    return jax.lax.dynamic_index_in_dim(arr, slot, 0, keepdims=False)
 
-        # ---- windowed BA ----
-        if int(np.sum(self.kf_valid)) >= 3 and int(self.lm_valid.sum()) >= 12:
-            fixed = jnp.asarray(~self._two_oldest_free_mask())
-            fx, fy, cx, cy, _, _ = self.cam.level(0)
-            prob = BAProblem(
-                poses=self.kf_poses,
-                landmarks=self.landmarks,
-                obs=self.kf_obs,
-                mask=self.kf_obs_mask & jnp.asarray(self.kf_valid)[:, None]
-                & self.lm_valid[None, :],
-                fx=fx, fy=fy, cx=cx, cy=cy,
-                fixed_pose_mask=fixed,
-            )
-            poses, lms, (err, err0) = self._ba(prob)
-            self.kf_poses = poses
-            self.landmarks = lms
-            if slot == self._last_kf_slot:
-                self.cur_pose = poses[slot]
 
-    def _two_oldest_free_mask(self):
-        """True for the (up to) two most recently *movable* keyframes;
-        the rest stay fixed as the gauge anchor."""
-        K = self.cfg.window
-        free = np.zeros(K, bool)
-        if self._last_kf_slot is not None and np.sum(self.kf_valid) >= 3:
-            free[self._last_kf_slot] = True
-            prev = (self._last_kf_slot - 1) % K
-            if self.kf_valid[prev]:
-                free[prev] = True
-        return free
+# ---------------------------------------------------------------------------
+# fused device steps (module-level pure functions; closed over via jit
+# lambdas in the engine constructor)
 
-    # ---------- public API ----------
 
-    def bootstrap_from_images(self, img0, img1, key=None, scale: float = 1.0,
-                              num_matches: int = 512):
-        """GT-free initialization: corners + fb-LK matches -> essential
-        matrix -> relative pose + triangulated seeds (sfm/twoview.py).
-        Monocular scale is fixed to ``scale`` * unit baseline.
-        Returns the number of seed landmarks."""
-        import jax as _jax
+def _track_frame(state: VOState, pyr: Pyramid, cam: CameraPyramid,
+                 cfgt: ICGNParams):
+    """IC-GN track the new frame against the newest keyframe's map.
 
-        from invcompcamtrack_tpu.sfm.twoview import initialize_two_view
+    IC-GN semantics: the init pose must be the pose of the *reference
+    image* — its patches are sampled at init-pose projections
+    (reference: odometer.cpp:241-255; the chains in
+    run_track_nposes.cpp:229-246 thread poses the same way).
+    """
+    fx, fy, cx, cy, swo, sho = cam.level(0)
+    ref_pyr = _index_pyr(state.kf_pyr, state.kf_ptr)
+    pose_ref = _row_get(state.kf_poses, state.kf_ptr)
+    G = lie.se3_exp(pose_ref)
+    uv = pose_ops.project_points(G, state.landmarks, fx, fy, cx, cy)
+    uv = jnp.where(jnp.isfinite(uv), uv, -1.0)
+    vis = pose_ops.in_frustum(uv, swo, sho) & state.lm_valid
+    return track_pose(ref_pyr, pyr, state.landmarks, pose_ref, cam, cfgt,
+                      point_mask=vis)
 
-        if key is None:
-            key = _jax.random.PRNGKey(0)
-        cfgt = self.cfg.tracker
-        pyr0 = self._pyr(jnp.asarray(img0, self.dtype))
-        pyr1 = self._pyr(jnp.asarray(img1, self.dtype))
-        xy0, cvalid = shi_tomasi_corners(
-            pyr0[0].img[cfgt.psz:-cfgt.psz, cfgt.psz:-cfgt.psz],
-            max_corners=num_matches, border=cfgt.psz,
-        )
-        xy1, ok = self._lk(pyr0, pyr1, xy0)
-        fc = jnp.asarray(self.fc, self.dtype)
-        cc = jnp.asarray(self.cc, self.dtype)
-        res = initialize_two_view(
-            key, (xy0 - cc) / fc, (xy1 - cc) / fc, cvalid & ok
-        )
-        G1 = lie.se3_exp(res.pose1)
-        c1 = lie.camera_center(G1) * scale
-        t1 = -jnp.einsum("ij,j->i", G1[:, :3], c1)
-        pose1 = lie.se3_log(jnp.concatenate([G1[:, :3], t1[:, None]], axis=1))
-        lms = np.asarray(res.landmarks) * scale
-        valid = np.asarray(res.valid)
-        self.bootstrap(img0, img1, np.zeros(6), np.asarray(pose1),
-                       lms[valid])
-        return int(valid.sum())
 
-    def bootstrap(self, img0, img1, pose0, pose1, points3d, valid=None):
-        """Initialize with two known poses + landmark seeds (from GT,
-        stereo, or two-view SfM done by the caller)."""
-        L = self.cfg.max_landmarks
-        pts = np.zeros((L, 3), np.float32)
-        msk = np.zeros((L,), bool)
-        n = min(len(points3d), L)
-        pts[:n] = np.asarray(points3d)[:n]
-        msk[:n] = True if valid is None else np.asarray(valid)[:n]
-        self.landmarks = jnp.asarray(pts, self.dtype)
-        self.lm_valid = jnp.asarray(msk)
+def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
+             cfg: VOConfig) -> VOState:
+    """Fused keyframe promotion: measured re-observation of the map,
+    corner triangulation into free slots, ring eviction, windowed BA."""
+    cfgt = cfg.tracker
+    K = cfg.window
+    fx, fy, cx, cy, swo, sho = cam.level(0)
+    fc2 = jnp.stack([fx, fy])
+    cc2 = jnp.stack([cx, cy])
 
-        pyr0 = self._pyr(jnp.asarray(img0, self.dtype))
-        pyr1 = self._pyr(jnp.asarray(img1, self.dtype))
-        self.cur_pose = jnp.asarray(pose0, self.dtype)
-        self.frame_idx = 0
-        self._promote_keyframe(pyr0, jnp.asarray(pose0, self.dtype))
-        self.trajectory.append(np.asarray(lie.camera_center(lie.se3_exp(self.cur_pose))))
-        self.frame_idx = 1
-        self.cur_pose = jnp.asarray(pose1, self.dtype)
-        self._last_pyr = pyr1
-        if self.frame_idx % self.cfg.keyframe_stride == 0:
-            self._promote_keyframe(pyr1, self.cur_pose)
-        self.trajectory.append(np.asarray(lie.camera_center(lie.se3_exp(self.cur_pose))))
-        self.frame_idx = 2
+    prev = state.kf_ptr
+    new_slot = (prev + 1) % K
+    prev_pyr = _index_pyr(state.kf_pyr, prev)
+    prev_pose = _row_get(state.kf_poses, prev)
+    prev_obs = _row_get(state.kf_obs, prev)
+    prev_obs_mask = _row_get(state.kf_obs_mask, prev)
 
-    def process_frame(self, img) -> np.ndarray:
-        """Track one new frame; returns the (6,) pose estimate."""
-        pyr = self._pyr(jnp.asarray(img, self.dtype))
-        ref_slot = self._last_kf_slot
-        pyr_ref = self.kf_pyramids[ref_slot]
-        pose_ref = self.kf_poses[ref_slot]
+    G_prev = lie.se3_exp(prev_pose)
+    G_new = lie.se3_exp(p_new)
 
-        # points visible in the reference keyframe drive the alignment.
-        # IC-GN semantics: the init pose must be the pose of the
-        # *reference image* — its patches are sampled at init-pose
-        # projections (reference: odometer.cpp:241-255; the chains in
-        # run_track_nposes.cpp:229-246 thread poses the same way).
-        _, vis = self._observe(pose_ref, pyr_ref)
-        p_new = self._track(pyr_ref, pyr, self.landmarks, pose_ref, vis)
-        self.cur_pose = p_new
+    # ---- (1) measured re-observation of existing landmarks ----
+    # LK-track each landmark's patch from its measured position in the
+    # previous keyframe into the new keyframe, seeded at the predicted
+    # reprojection; the record is the MEASURED position, so BA anchors
+    # to pixels (the reference scores against measured correspondences
+    # the same way, run_test_OF_track.py:386-411).
+    proj_prev = pose_ops.project_points(G_prev, state.landmarks, fx, fy, cx, cy)
+    proj_new = pose_ops.project_points(G_new, state.landmarks, fx, fy, cx, cy)
+    proj_prev = jnp.where(jnp.isfinite(proj_prev), proj_prev, 0.0)
+    proj_new_s = jnp.where(jnp.isfinite(proj_new), proj_new, 0.0)
+    start = jnp.where(prev_obs_mask[:, None], prev_obs, proj_prev)
+    xy_meas, lk_ok = lk_forward_backward(
+        prev_pyr, pyr, start, init_xy=proj_new_s,
+        psz=cfg.lk_psz, num_levels=cfgt.num_levels,
+    )
+    vis_new = pose_ops.in_frustum(proj_new_s, swo, sho) & \
+        jnp.all(jnp.isfinite(proj_new), axis=1)
+    reproj_ok = jnp.linalg.norm(xy_meas - proj_new_s, axis=1) < cfg.reobs_gate_px
+    reobs = (state.lm_valid & lk_ok & vis_new & reproj_ok
+             & pose_ops.in_frustum(xy_meas, swo, sho))
 
-        if self.frame_idx % self.cfg.keyframe_stride == 0:
-            self._promote_keyframe(pyr, p_new)
-            self.cur_pose = self.kf_poses[self._last_kf_slot]
+    # landmark lifecycle: consecutive misses while expected visible
+    # retire the landmark and free its slot
+    expected = state.lm_valid & vis_new
+    lm_fail = jnp.where(reobs, 0,
+                        jnp.where(expected, state.lm_fail + 1, state.lm_fail))
+    lm_valid = state.lm_valid & (lm_fail < cfg.max_obs_fail)
 
-        self._last_pyr = pyr
-        self.frame_idx += 1
-        c = np.asarray(lie.camera_center(lie.se3_exp(self.cur_pose)))
-        self.trajectory.append(c)
-        return np.asarray(self.cur_pose)
+    # ---- (2) triangulate new landmarks from measured corner tracks ----
+    interior = prev_pyr[0].img[cfgt.psz:-cfgt.psz, cfgt.psz:-cfgt.psz]
+    xy0, cvalid = shi_tomasi_corners(
+        interior, max_corners=cfg.corners_per_kf, border=cfgt.psz
+    )
+    xy1, lk_okc = lk_forward_backward(
+        prev_pyr, pyr, xy0, psz=cfg.lk_psz, num_levels=cfgt.num_levels
+    )
+    parallax = jnp.linalg.norm(xy1 - xy0, axis=1)
+    good = cvalid & lk_okc & (parallax > cfg.min_parallax_px)
+
+    c_prev = lie.camera_center(G_prev)
+    c_new = lie.camera_center(G_new)
+    P0 = pose_ops.projection_matrix(fc2, cc2, G_prev[:, :3], c_prev)
+    P1 = pose_ops.projection_matrix(fc2, cc2, G_new[:, :3], c_new)
+    P = jnp.broadcast_to(jnp.stack([P0, P1]), (xy0.shape[0], 2, 3, 4))
+    obs2 = jnp.stack([xy0, xy1], axis=1)
+    X_new, _ = triangulate_dlt(P, obs2, R0=G_prev[:, :3], c0=c_prev)
+    X_new, _ = triangulate_gn(P, obs2, jnp.nan_to_num(X_new), num_iters=3)
+    depth_ok = (
+        (pose_ops.transform_points(G_new, X_new)[..., 2] > 0.05)
+        & (pose_ops.transform_points(G_prev, X_new)[..., 2] > 0.05)
+        & jnp.all(jnp.isfinite(X_new), axis=1)
+    )
+    good = good & depth_ok
+
+    landmarks, lm_valid, seeded, take = _fill_slots(
+        state.landmarks, lm_valid, X_new, good
+    )
+    lm_fail = jnp.where(seeded, 0, lm_fail)
+
+    # seeded slots get their two MEASURED founding observations
+    nc = xy0.shape[0]
+    take_c = jnp.clip(take, 0, nc - 1)
+    prev_obs = jnp.where(seeded[:, None], jnp.take(xy0, take_c, axis=0), prev_obs)
+    prev_obs_mask = prev_obs_mask | seeded
+    new_obs = jnp.where(seeded[:, None], jnp.take(xy1, take_c, axis=0), xy_meas)
+    new_obs_mask = reobs | seeded
+
+    # ---- (3) ring write: evict new_slot, record the keyframe ----
+    kf_obs = _row_set(state.kf_obs, prev, prev_obs)
+    kf_obs = _row_set(kf_obs, new_slot, new_obs)
+    kf_obs_mask = _row_set(state.kf_obs_mask, prev, prev_obs_mask)
+    kf_obs_mask = _row_set(kf_obs_mask, new_slot, new_obs_mask)
+    kf_poses = _row_set(state.kf_poses, new_slot, p_new)
+    kf_valid = state.kf_valid.at[new_slot].set(True)
+    kf_pyr = _update_pyr(state.kf_pyr, new_slot, pyr)
+
+    # a landmark observed by NO keyframe left in the window is
+    # unreachable for BA and for re-observation chains — retire it
+    # (sliding-window analogue of dead-track compaction,
+    # reference: misc_src/classoftrack.py:96-100)
+    observed_any = jnp.any(kf_obs_mask & kf_valid[:, None], axis=0)
+    lm_valid = lm_valid & observed_any
+
+    # ---- (4) windowed BA on the measured observation grid ----
+    slots = jnp.arange(K)
+    free = (slots == new_slot) | (slots == prev)
+    fixed = ~free  # invalid slots count as fixed (diagonal boost in S)
+    mask = kf_obs_mask & kf_valid[:, None] & lm_valid[None, :]
+    prob = BAProblem(
+        poses=kf_poses, landmarks=landmarks, obs=kf_obs, mask=mask,
+        fx=fx, fy=fy, cx=cx, cy=cy, fixed_pose_mask=fixed,
+    )
+    # hard residual gate: a measurement grossly inconsistent with the
+    # current state is a correspondence failure, not noise — reject it
+    # from the window permanently (Huber handles the mid-range).  This is
+    # the RANSAC-style discard of the reference's verification loop
+    # (reference: func_ransac_fitcameras_odom.m:47-57) applied per-obs.
+    from invcompcamtrack_tpu.ba.window import ba_residuals as _ba_res
+    res0, _ = _ba_res(prob)
+    obs_ok = jnp.linalg.norm(res0, axis=-1) < cfg.ba_obs_gate_px
+    kf_obs_mask = kf_obs_mask & (obs_ok | ~mask)
+    mask = mask & obs_ok
+    prob = prob._replace(mask=mask)
+    do_ba = (jnp.sum(kf_valid) >= cfg.min_kf_for_ba) & \
+        (jnp.sum(lm_valid) >= cfg.min_lm_for_ba)
+
+    def run_ba(_):
+        poses, lms, _ = ba_solve(prob, num_iters=cfg.ba_iters,
+                                 huber_delta=cfg.huber_px)
+        return poses, lms
+
+    kf_poses, landmarks = jax.lax.cond(
+        do_ba, run_ba, lambda _: (kf_poses, landmarks), None
+    )
+    cur_pose = _row_get(kf_poses, new_slot)
+
+    return state._replace(
+        landmarks=landmarks, lm_valid=lm_valid, lm_fail=lm_fail,
+        kf_poses=kf_poses, kf_valid=kf_valid,
+        kf_obs=kf_obs, kf_obs_mask=kf_obs_mask, kf_pyr=kf_pyr,
+        kf_ptr=new_slot, cur_pose=cur_pose,
+    )
+
+
+def _track_step(state: VOState, img, cam: CameraPyramid, cfg: VOConfig):
+    """One fused non-keyframe frame: pyramid + track in one program."""
+    pyr = build_pyramid(img, cfg.tracker.num_levels, cfg.tracker.psz)
+    p_new = _track_frame(state, pyr, cam, cfg.tracker)
+    state = state._replace(cur_pose=p_new, frame_idx=state.frame_idx + 1)
+    return state, p_new
+
+
+def _keyframe_step(state: VOState, img, cam: CameraPyramid, cfg: VOConfig):
+    """One fused keyframe frame: pyramid + track + promote + BA."""
+    pyr = build_pyramid(img, cfg.tracker.num_levels, cfg.tracker.psz)
+    p_new = _track_frame(state, pyr, cam, cfg.tracker)
+    state = _promote(state, pyr, p_new, cam, cfg)
+    state = state._replace(frame_idx=state.frame_idx + 1)
+    return state, state.cur_pose
+
+
+def _promote_step(state: VOState, img, pose, cam: CameraPyramid, cfg: VOConfig):
+    """Promote a frame with an externally-given pose (bootstrap path)."""
+    pyr = build_pyramid(img, cfg.tracker.num_levels, cfg.tracker.psz)
+    state = _promote(state, pyr, pose, cam, cfg)
+    state = state._replace(frame_idx=state.frame_idx + 1)
+    return state, state.cur_pose
+
+
+def _run_periods(state: VOState, frames, cam: CameraPyramid, cfg: VOConfig):
+    """lax.scan over keyframe periods — frames (P, stride, H, W) where
+    index 0 of each period is the keyframe frame.  One device dispatch
+    for the whole chunk."""
+
+    def period(st, imgs):
+        st, p0 = _keyframe_step(st, imgs[0], cam, cfg)
+        ps = [p0]
+        for j in range(1, cfg.keyframe_stride):
+            st, pj = _track_step(st, imgs[j], cam, cfg)
+            ps.append(pj)
+        return st, jnp.stack(ps)
+
+    state, poses = jax.lax.scan(period, state, frames)
+    return state, poses.reshape(-1, 6)
 
 
 def _fill_slots(landmarks, lm_valid, candidates, cand_valid):
     """Scatter valid candidates into free landmark slots (prefix-sum slot
-    assignment, same pattern as the track table)."""
+    assignment, same pattern as the track table).
+
+    Returns (landmarks, lm_valid, seeded (L,) bool, take (L,) int32 —
+    the candidate index written into each seeded slot, -1 elsewhere).
+    """
     L = landmarks.shape[0]
     K = candidates.shape[0]
     free = ~lm_valid
@@ -288,7 +352,238 @@ def _fill_slots(landmarks, lm_valid, candidates, cand_valid):
     cand_for_rank = cand_for_rank.at[scatter_idx].set(
         jnp.arange(K, dtype=jnp.int32), mode="drop")
     take = cand_for_rank[jnp.clip(slot_rank, 0, L - 1)]
-    seeds = free & (take >= 0)
+    seeded = free & (take >= 0)
+    take = jnp.where(seeded, take, -1)
     seed_X = jnp.take(candidates, jnp.clip(take, 0, K - 1), axis=0)
-    landmarks = jnp.where(seeds[:, None], seed_X.astype(landmarks.dtype), landmarks)
-    return landmarks, lm_valid | seeds
+    landmarks = jnp.where(seeded[:, None], seed_X.astype(landmarks.dtype), landmarks)
+    return landmarks, lm_valid | seeded, seeded, take
+
+
+# ---------------------------------------------------------------------------
+
+
+class VisualOdometry:
+    """Stateful host facade; one jitted device program per frame (and one
+    per *chunk* via :meth:`run_frames`)."""
+
+    def __init__(self, cam: CameraPyramid, fc, cc, cfg: VOConfig | None = None,
+                 dtype=jnp.float32):
+        self.cam = cam
+        self.cfg = cfg or VOConfig()
+        self.fc = fc
+        self.cc = cc
+        self.dtype = dtype
+        self.state: Optional[VOState] = None
+        self.trajectory: list[np.ndarray] = []
+        self._frame_idx = 0  # host mirror for the keyframe cadence
+
+        c, cf = cam, self.cfg
+        self._jit_pyr = jax.jit(
+            lambda img: build_pyramid(img, cf.tracker.num_levels, cf.tracker.psz)
+        )
+        self._jit_track = jax.jit(lambda st, img: _track_step(st, img, c, cf))
+        self._jit_kf = jax.jit(lambda st, img: _keyframe_step(st, img, c, cf))
+        self._jit_promote = jax.jit(
+            lambda st, img, p: _promote_step(st, img, p, c, cf)
+        )
+        self._jit_run = jax.jit(lambda st, fr: _run_periods(st, fr, c, cf))
+
+    # ---------- state views (stable public attribute API) ----------
+
+    @property
+    def landmarks(self):
+        return self.state.landmarks
+
+    @property
+    def lm_valid(self):
+        return self.state.lm_valid
+
+    @property
+    def kf_poses(self):
+        return self.state.kf_poses
+
+    @property
+    def kf_valid(self):
+        return np.asarray(self.state.kf_valid)
+
+    @property
+    def kf_obs(self):
+        return self.state.kf_obs
+
+    @property
+    def kf_obs_mask(self):
+        return self.state.kf_obs_mask
+
+    @property
+    def cur_pose(self):
+        return self.state.cur_pose
+
+    @property
+    def frame_idx(self) -> int:
+        return self._frame_idx
+
+    @property
+    def _last_kf_slot(self) -> int:
+        return int(self.state.kf_ptr)
+
+    # ---------- internals ----------
+
+    def _empty_state(self, wh) -> VOState:
+        L = self.cfg.max_landmarks
+        K = self.cfg.window
+        cfgt = self.cfg.tracker
+        zero_img = jnp.zeros((int(wh[1]), int(wh[0])), self.dtype)
+        pyr0 = build_pyramid(zero_img, cfgt.num_levels, cfgt.psz)
+        kf_pyr = jax.tree.map(
+            lambda a: jnp.zeros((K,) + a.shape, a.dtype), tuple(pyr0)
+        )
+        return VOState(
+            landmarks=jnp.zeros((L, 3), self.dtype),
+            lm_valid=jnp.zeros((L,), bool),
+            lm_fail=jnp.zeros((L,), jnp.int32),
+            kf_poses=jnp.zeros((K, 6), self.dtype),
+            kf_valid=jnp.zeros((K,), bool),
+            kf_obs=jnp.zeros((K, L, 2), self.dtype),
+            kf_obs_mask=jnp.zeros((K, L), bool),
+            kf_pyr=kf_pyr,
+            kf_ptr=jnp.zeros((), jnp.int32),
+            cur_pose=jnp.zeros((6,), self.dtype),
+            frame_idx=jnp.zeros((), jnp.int32),
+        )
+
+    def _append_center(self, pose):
+        c = np.asarray(lie.camera_center(lie.se3_exp(pose)))
+        self.trajectory.append(c)
+
+    # ---------- public API ----------
+
+    def bootstrap_from_images(self, img0, img1, key=None, scale: float = 1.0,
+                              num_matches: int = 512):
+        """GT-free initialization: corners + fb-LK matches -> essential
+        matrix -> relative pose + triangulated seeds (sfm/twoview.py).
+        Monocular scale is fixed to ``scale`` * unit baseline.
+        Seed observations are the MEASURED match positions.
+        Returns the number of seed landmarks."""
+        from invcompcamtrack_tpu.sfm.twoview import initialize_two_view
+
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        cfgt = self.cfg.tracker
+        pyr0 = self._jit_pyr(jnp.asarray(img0, self.dtype))
+        pyr1 = self._jit_pyr(jnp.asarray(img1, self.dtype))
+        xy0, cvalid = shi_tomasi_corners(
+            pyr0[0].img[cfgt.psz:-cfgt.psz, cfgt.psz:-cfgt.psz],
+            max_corners=num_matches, border=cfgt.psz,
+        )
+        xy1, ok = lk_forward_backward(pyr0, pyr1, xy0, psz=self.cfg.lk_psz,
+                                      num_levels=cfgt.num_levels)
+        fc = jnp.asarray(self.fc, self.dtype)
+        cc = jnp.asarray(self.cc, self.dtype)
+        res = initialize_two_view(
+            key, (xy0 - cc) / fc, (xy1 - cc) / fc, cvalid & ok
+        )
+        G1 = lie.se3_exp(res.pose1)
+        c1 = lie.camera_center(G1) * scale
+        t1 = -jnp.einsum("ij,j->i", G1[:, :3], c1)
+        pose1 = lie.se3_log(jnp.concatenate([G1[:, :3], t1[:, None]], axis=1))
+        valid = np.asarray(res.valid)
+        lms = np.asarray(res.landmarks)[valid] * scale
+        self.bootstrap(img0, img1, np.zeros(6), np.asarray(pose1), lms,
+                       obs0=np.asarray(xy0)[valid])
+        return int(valid.sum())
+
+    def bootstrap(self, img0, img1, pose0, pose1, points3d, valid=None,
+                  obs0=None):
+        """Initialize with two known poses + landmark seeds (from GT,
+        stereo, or two-view SfM done by the caller).
+
+        ``obs0`` optionally carries the measured pixel positions of the
+        seeds in frame 0 (e.g. the match coordinates that produced
+        them); without it the seeds' frame-0 observations fall back to
+        their reprojections (the best available anchor for GT seeds).
+        Frame-1 observations are always MEASURED (LK from frame 0).
+        """
+        L = self.cfg.max_landmarks
+        pts = np.zeros((L, 3), np.float32)
+        msk = np.zeros((L,), bool)
+        n = min(len(points3d), L)
+        pts[:n] = np.asarray(points3d)[:n]
+        msk[:n] = True if valid is None else np.asarray(valid)[:n]
+
+        state = self._empty_state(self._wh_from_image(img0))
+        state = state._replace(
+            landmarks=jnp.asarray(pts, self.dtype),
+            lm_valid=jnp.asarray(msk),
+        )
+
+        pose0 = jnp.asarray(pose0, self.dtype)
+        pose1 = jnp.asarray(pose1, self.dtype)
+        pyr0 = self._jit_pyr(jnp.asarray(img0, self.dtype))
+
+        # ---- keyframe 0 (slot 0) ----
+        fx, fy, cx, cy, swo, sho = self.cam.level(0)
+        G0 = lie.se3_exp(pose0)
+        if obs0 is not None:
+            uv0 = np.zeros((L, 2), np.float32)
+            uv0[:n] = np.asarray(obs0)[:n]
+            uv0 = jnp.asarray(uv0, self.dtype)
+        else:
+            uv0 = pose_ops.project_points(G0, state.landmarks, fx, fy, cx, cy)
+            uv0 = jnp.where(jnp.isfinite(uv0), uv0, -1.0)
+        mask0 = state.lm_valid & pose_ops.in_frustum(uv0, swo, sho)
+        state = state._replace(
+            kf_poses=state.kf_poses.at[0].set(pose0),
+            kf_valid=state.kf_valid.at[0].set(True),
+            kf_obs=state.kf_obs.at[0].set(uv0),
+            kf_obs_mask=state.kf_obs_mask.at[0].set(mask0),
+            kf_pyr=_update_pyr(state.kf_pyr, jnp.int32(0), pyr0),
+            kf_ptr=jnp.zeros((), jnp.int32),
+            cur_pose=pose0,
+            frame_idx=jnp.ones((), jnp.int32),
+        )
+        self.state = state
+        self._append_center(pose0)
+
+        # ---- keyframe 1: measured promote with the given pose ----
+        self.state, _ = self._jit_promote(
+            self.state, jnp.asarray(img1, self.dtype), pose1
+        )
+        self._append_center(self.state.cur_pose)
+        self._frame_idx = 2
+
+    def _wh_from_image(self, img):
+        h, w = np.asarray(img).shape[-2:]
+        return (w, h)
+
+    def process_frame(self, img) -> np.ndarray:
+        """Track one new frame (ONE device dispatch); returns the (6,)
+        pose estimate."""
+        img = jnp.asarray(img, self.dtype)
+        if self._frame_idx % self.cfg.keyframe_stride == 0:
+            self.state, pose = self._jit_kf(self.state, img)
+        else:
+            self.state, pose = self._jit_track(self.state, img)
+        self._frame_idx += 1
+        self._append_center(pose)
+        return np.asarray(pose)
+
+    def run_frames(self, images) -> np.ndarray:
+        """Process a chunk of frames in ONE device dispatch (scan over
+        keyframe periods).  ``images``: (T, H, W) with T a multiple of
+        ``keyframe_stride``, and the current frame index aligned so the
+        first frame is a keyframe frame.  Returns the (T, 6) poses."""
+        stride = self.cfg.keyframe_stride
+        T = images.shape[0]
+        if T % stride != 0:
+            raise ValueError(f"chunk length {T} not a multiple of {stride}")
+        if self._frame_idx % stride != 0:
+            raise ValueError("chunk start must align with the keyframe cadence")
+        frames = jnp.asarray(images, self.dtype).reshape(
+            T // stride, stride, *images.shape[1:]
+        )
+        self.state, poses = self._jit_run(self.state, frames)
+        self._frame_idx += T
+        poses = np.asarray(poses)
+        for p in poses:
+            self._append_center(jnp.asarray(p))
+        return poses

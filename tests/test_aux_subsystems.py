@@ -63,10 +63,7 @@ def test_vo_checkpoint_resume(tmp_path, rng):
 
     vo2 = VisualOdometry(cam, scene.fc, scene.cc, cfg)
     ckpt.restore_vo_state(vo2, ckpt.restore_checkpoint(tmp_path / "vo"))
-    # re-feed the keyframe pyramids (images are not checkpointed)
-    for slot in range(cfg.window):
-        if vo.kf_pyramids[slot] is not None:
-            vo2.kf_pyramids[slot] = vo.kf_pyramids[slot]
+    # the full device state (incl. keyframe pyramid stacks) round-trips
 
     for i in range(5, 9):
         a = vo.process_frame(imgs[i])

@@ -85,3 +85,37 @@ def test_ba_masked_observations_ignored(rng):
     poses2, lms2, _ = ba_solve(prob2, num_iters=8)
     np.testing.assert_allclose(np.asarray(poses1), np.asarray(poses2), atol=0)
     np.testing.assert_allclose(np.asarray(lms1), np.asarray(lms2), atol=0)
+
+
+def test_ba_huber_resists_outliers(rng):
+    """Inject gross outliers into 10% of the observations: pure-L2 BA is
+    dragged away from GT, Huber-weighted BA stays at GT accuracy."""
+    prob, poses_gt, X_gt = _make_problem(rng, noise=0.05, perturb_pose=0.01,
+                                         perturb_lm=0.05, drop=0.0)
+    obs = np.asarray(prob.obs).copy()
+    out_mask = rng.uniform(size=obs.shape[:2]) < 0.1
+    obs[out_mask] += rng.normal(size=(out_mask.sum(), 2)) * 80.0
+    prob = prob._replace(obs=jnp.asarray(obs))
+
+    poses_l2, lms_l2, _ = ba_solve(prob, num_iters=30)
+    poses_hu, lms_hu, _ = ba_solve(prob, num_iters=30, huber_delta=1.0)
+
+    def pose_err(p):
+        return np.linalg.norm(np.asarray(p) - poses_gt, axis=1).max()
+
+    assert pose_err(poses_hu) < 0.02, pose_err(poses_hu)
+    assert pose_err(poses_hu) < 0.5 * pose_err(poses_l2), (
+        pose_err(poses_hu), pose_err(poses_l2))
+    lm_err_hu = np.linalg.norm(np.asarray(lms_hu) - X_gt, axis=1)
+    lm_err_l2 = np.linalg.norm(np.asarray(lms_l2) - X_gt, axis=1)
+    assert np.median(lm_err_hu) < np.median(lm_err_l2)
+
+
+def test_ba_huber_matches_l2_inliers_only(rng):
+    """With no outliers and residuals below delta, Huber == L2 exactly."""
+    prob, poses_gt, X_gt = _make_problem(rng, perturb_pose=0.005,
+                                         perturb_lm=0.02)
+    p1, l1, (e1, _) = ba_solve(prob, num_iters=10)
+    p2, l2, (e2, _) = ba_solve(prob, num_iters=10, huber_delta=1e4)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-7)
+    np.testing.assert_allclose(float(e1), float(e2), rtol=1e-5, atol=1e-18)

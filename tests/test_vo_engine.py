@@ -105,3 +105,127 @@ def test_vo_engine_self_initialization(rng):
     # self-initialized, scale-aligned: demand <2% of the path extent
     extent = np.linalg.norm(centers_gt[-1] - centers_gt[0])
     assert ate < 0.05 * extent + 0.01, (ate, extent)
+
+
+def _small_setup(rng, n_frames, wh=(192, 144), fc=(170.0, 172.0), path=None,
+                 max_landmarks=128, window=4, freq_range=(2.0, 20.0)):
+    scene = synthetic.make_scene(rng, wh=wh, fc=fc, freq_range=freq_range)
+    poses_gt = path if path is not None else _camera_path(rng, n_frames)
+    imgs = [synthetic.render(scene, geo.se3_exp(p)) for p in poses_gt]
+    tracker = ICGNParams(lv_f=2, lv_l=0, psz=8, maxiter=6)
+    cfg = VOConfig(tracker=tracker, max_landmarks=max_landmarks, window=window,
+                   keyframe_stride=2, corners_per_kf=128, min_parallax_px=0.5)
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh,
+                               tracker.num_levels, tracker.psz)
+    vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
+    return scene, poses_gt, imgs, vo
+
+
+def test_vo_run_frames_matches_process_frame(rng):
+    """The single-dispatch chunked scan must produce the same trajectory
+    as the per-frame dispatch path."""
+    n_frames = 10
+    scene, poses_gt, imgs, vo_a = _small_setup(rng, n_frames)
+    _, _, _, vo_b = _small_setup(np.random.default_rng(0), n_frames)
+
+    seeds = synthetic.sample_plane_points(scene, rng, 100, margin=20)
+    vo_a.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+    vo_b.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+
+    poses_a = [vo_a.process_frame(imgs[i]) for i in range(2, n_frames)]
+    poses_b = vo_b.run_frames(np.stack(imgs[2:n_frames]))
+    np.testing.assert_allclose(np.stack(poses_a), poses_b, atol=1e-5)
+    np.testing.assert_allclose(np.stack(vo_a.trajectory),
+                               np.stack(vo_b.trajectory), atol=1e-5)
+
+
+def test_vo_observations_are_measurements(rng):
+    """Keyframe observations must be MEASURED positions (LK localization
+    of the landmark patch), not reprojections of the current state:
+    close to the GT projection, but not bit-identical to the state's own
+    reprojection."""
+    n_frames = 8
+    scene, poses_gt, imgs, vo = _small_setup(rng, n_frames)
+    seeds = synthetic.sample_plane_points(scene, rng, 100, margin=20)
+    vo.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+    for i in range(2, n_frames):
+        vo.process_frame(imgs[i])
+
+    import jax.numpy as jnp
+    from invcompcamtrack_tpu.core import lie, pose as pose_ops
+
+    st = vo.state
+    slot = int(st.kf_ptr)
+    obs = np.asarray(st.kf_obs[slot])
+    msk = np.asarray(st.kf_obs_mask[slot] & st.lm_valid)
+    assert msk.sum() > 30
+    fx, fy, cx, cy, _, _ = vo.cam.level(0)
+    G = lie.se3_exp(st.kf_poses[slot])
+    reproj = np.asarray(pose_ops.project_points(
+        G, st.landmarks, fx, fy, cx, cy))
+    d = np.linalg.norm((obs - reproj)[msk], axis=1)
+    # measurements sit near the model but are not the model itself
+    assert np.median(d) < 1.5, np.median(d)
+    assert np.max(d) > 1e-4, "observations are exact reprojections"
+
+
+def test_vo_ba_resists_observation_outliers(rng):
+    """Corrupt a fraction of the measured observations in the window:
+    the Huber-weighted BA keyframe step must still track accurately."""
+    n_frames = 10
+    scene, poses_gt, imgs, vo = _small_setup(rng, n_frames)
+    seeds = synthetic.sample_plane_points(scene, rng, 100, margin=20)
+    vo.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+    for i in range(2, 6):
+        vo.process_frame(imgs[i])
+
+    # inject gross outliers into 10% of the recorded observations
+    import jax.numpy as jnp
+    obs = np.asarray(vo.state.kf_obs).copy()
+    msk = np.asarray(vo.state.kf_obs_mask)
+    hit = (np.random.default_rng(1).uniform(size=msk.shape) < 0.1) & msk
+    obs[hit] += 50.0
+    vo.state = vo.state._replace(kf_obs=jnp.asarray(obs))
+
+    for i in range(6, n_frames):
+        vo.process_frame(imgs[i])
+
+    traj = np.stack(vo.trajectory)
+    centers_gt = np.stack(
+        [-geo.se3_exp(p)[:, :3].T @ geo.se3_exp(p)[:, 3] for p in poses_gt]
+    )
+    ate = float(ate_rmse(jnp.asarray(traj), jnp.asarray(centers_gt),
+                         with_scale=False))
+    assert ate < 0.02, ate
+
+
+def test_vo_landmark_lifecycle_turnover(rng):
+    """Long sequence with sustained motion: landmarks that leave view or
+    fail re-observation must be retired and their slots re-seeded, so
+    the map keeps turning over instead of freezing at capacity."""
+    n_frames = 40
+    path = [np.zeros(6)]
+    for i in range(1, n_frames):
+        # steady lateral drift slides the visible set across the scene
+        path.append(path[-1] + np.r_[0.18, 0.0, 0.005, 0.0, 0.002, 0.0])
+    path = np.stack(path)
+    scene, poses_gt, imgs, vo = _small_setup(
+        rng, n_frames, path=path, max_landmarks=96, freq_range=(0.5, 6.0))
+    seeds = synthetic.sample_plane_points(scene, rng, 90, margin=20)
+    vo.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+
+    valid0 = np.asarray(vo.lm_valid).copy()
+    lms0 = np.asarray(vo.landmarks).copy()
+    for i in range(2, n_frames):
+        vo.process_frame(imgs[i])
+    valid1 = np.asarray(vo.lm_valid)
+    lms1 = np.asarray(vo.landmarks)
+
+    # turnover = slots whose original landmark was retired (still
+    # invalid, or re-seeded with a far-away replacement — BA refinement
+    # moves a surviving landmark far less than half a world unit)
+    moved = np.linalg.norm(lms1 - lms0, axis=1) > 0.5
+    turned_over = int(np.sum(valid0 & (~valid1 | moved)))
+    assert turned_over > 10, f"only {turned_over} slots turned over"
+    # ... and the map stayed healthy on the freed capacity
+    assert int(valid1.sum()) > 30, int(valid1.sum())
