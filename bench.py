@@ -1,10 +1,11 @@
-"""Headline benchmark: batched IC-GN pose tracking throughput on one chip.
+"""Headline benchmark: batched IC-GN tracking + the full VO engine on one chip.
 
-Workload: the reference's canonical single-pair configuration —
-100 tracked points, psz=8, 5 pyramid levels (lv_f=4 -> lv_l=0),
-maxiter=10 (reference: run_odometer_test.m:232) — batched over B
-independent pose-tracking problems sharing one 1280x720 image pair
-(the RANSAC-verification shape, reference: run_track_nposes.cpp:193).
+Workload 1 (headline, vs_baseline): the reference's canonical
+single-pair configuration — 100 tracked points, psz=8, 5 pyramid levels
+(lv_f=4 -> lv_l=0), maxiter=10 (reference: run_odometer_test.m:232) —
+batched over B independent pose-tracking problems sharing one 1280x720
+image pair (the RANSAC-verification shape, reference:
+run_track_nposes.cpp:193).
 
 Baseline: the reference's own in-source timing table for exactly this
 configuration on one x86 core (odometer.cpp:156-167):
@@ -14,7 +15,18 @@ configuration on one x86 core (odometer.cpp:156-167):
   total/pair: 0.55 + 5*50.80 + 50*24.52           ~ 1480 us
   -> 676 tracked pairs/s/core.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Workload 2 (extra): the fused VO ENGINE — 1280x720 monocular sequence,
+512-landmark map, keyframe every 2 frames, measured-observation Huber
+BA over a 5-keyframe window.  A 32-frame chunk is ONE device dispatch
+(lax.scan over keyframe periods), so the number is the device-bound
+frame rate, not host dispatch overhead.  The run is correctness-guarded
+(ATE against the synthetic GT path must stay small).
+
+Extras also carry roofline evidence: XLA cost-analysis FLOPs/bytes of
+the timed solver program divided by wall time, against the v5e peaks
+(197 TFLOP/s bf16 MXU, 819 GB/s HBM).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -31,9 +43,22 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_PAIRS_PER_S = 676.0
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
 
 
-def main():
+def _cost_analysis(compiled):
+    """Best-effort XLA cost analysis -> (flops, bytes accessed)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return 0.0, 0.0
+
+
+def bench_solver():
     from invcompcamtrack_tpu.config import ICGNParams
     from invcompcamtrack_tpu.core import lie
     from invcompcamtrack_tpu.core.camera import CameraPyramid
@@ -66,8 +91,10 @@ def main():
     p0 = jnp.zeros((B, 6), jnp.float32)
 
     step = jax.jit(lambda a, b, Xa, pa: track_pose_batch(a, b, Xa, pa, cam, cfg))
+    lowered = step.lower(pyr_ref, pyr_new, X, p0)
+    compiled = lowered.compile()
     out = step(pyr_ref, pyr_new, X, p0)
-    out.block_until_ready()  # compile
+    out.block_until_ready()  # compile + warm
 
     # correctness guard: the timed program must actually solve the
     # problem (finite poses converging to the GT camera center)
@@ -88,11 +115,91 @@ def main():
     dt = time.perf_counter() - t0
 
     pairs_per_s = B * reps / dt
+    flops, nbytes = _cost_analysis(compiled)
+    per_call = dt / reps
+    roofline = {}
+    if flops > 0:
+        roofline = {
+            "solver_tflops_achieved": round(flops / per_call / 1e12, 3),
+            "solver_gbytes_per_s": round(nbytes / per_call / 1e9, 1),
+            "solver_mxu_util_pct": round(100 * flops / per_call
+                                         / V5E_PEAK_BF16_FLOPS, 2),
+            "solver_hbm_util_pct": round(100 * nbytes / per_call
+                                         / V5E_PEAK_HBM_BYTES, 2),
+        }
+    return pairs_per_s, roofline
+
+
+def bench_engine():
+    """Full fused VO engine frame rate on a synthetic 720p sequence.
+
+    One dispatch per 32-frame chunk; returns device-bound frames/s with
+    an ATE correctness guard.
+    """
+    from invcompcamtrack_tpu.config import ICGNParams
+    from invcompcamtrack_tpu.core.camera import CameraPyramid
+    from invcompcamtrack_tpu.vo import synthetic
+    from invcompcamtrack_tpu.vo.engine import VOConfig, VisualOdometry
+    from invcompcamtrack_tpu.vo.metrics import ate_rmse
+    from tests.oracles import geometry_np as geo
+
+    rng = np.random.default_rng(1)
+    scene = synthetic.make_scene(rng, wh=(1280, 720), fc=(1000.0, 1200.0),
+                                 z0=8.0, freq_range=(0.5, 6.0))
+    n_frames = 66
+    poses_gt = [np.zeros(6)]
+    for i in range(1, n_frames):
+        poses_gt.append(poses_gt[-1] + np.r_[0.02, 0.01 * np.sin(i * 0.3), 0.01,
+                                             rng.normal(size=3) * 0.001])
+    poses_gt = np.stack(poses_gt)
+    frames = np.stack(
+        [synthetic.render(scene, geo.se3_exp(p)) for p in poses_gt]
+    ).astype(np.float32)
+
+    tracker = ICGNParams(lv_f=4, lv_l=0, psz=8, maxiter=10)
+    cfg = VOConfig(tracker=tracker, max_landmarks=512, window=5,
+                   keyframe_stride=2, corners_per_kf=512, min_parallax_px=1.0)
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh,
+                               tracker.num_levels, tracker.psz)
+    vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
+    seeds = synthetic.sample_plane_points(scene, rng, 400, margin=24)
+    vo.bootstrap(frames[0], frames[1], poses_gt[0], poses_gt[1], seeds)
+
+    chunk = 32
+    vo.run_frames(frames[2:2 + chunk])  # compile + warm state
+    t0 = time.perf_counter()
+    vo.run_frames(frames[2 + chunk:2 + 2 * chunk])
+    jax.block_until_ready(vo.state.cur_pose)
+    dt = time.perf_counter() - t0
+    fps = chunk / dt
+
+    traj = np.stack(vo.trajectory)
+    centers_gt = np.stack(
+        [-geo.se3_exp(p)[:, :3].T @ geo.se3_exp(p)[:, 3] for p in poses_gt]
+    )
+    ate = float(ate_rmse(jnp.asarray(traj), jnp.asarray(centers_gt),
+                         with_scale=False))
+    assert np.isfinite(ate) and ate < 0.05, f"engine bench diverged: ATE {ate}"
+    return fps, ate
+
+
+def main():
+    pairs_per_s, roofline = bench_solver()
+    extra = dict(roofline)
+    try:
+        engine_fps, engine_ate = bench_engine()
+        extra["engine_frames_per_sec"] = round(engine_fps, 2)
+        extra["engine_ate_rmse"] = round(engine_ate, 5)
+        extra["engine_dispatches_per_frame"] = round(1.0 / 32, 4)
+    except Exception as e:  # keep the headline alive
+        extra["engine_error"] = f"{type(e).__name__}: {e}"[:200]
+
     result = {
         "metric": "icgn_pose_tracks_per_sec",
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s/chip (100pts psz8 lv4-0 maxiter10)",
         "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+        "extra": extra,
     }
     print(json.dumps(result))
 
