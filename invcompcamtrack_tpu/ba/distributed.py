@@ -25,6 +25,7 @@ from invcompcamtrack_tpu.ba.window import (
     _jacobians,
     ba_residuals,
     huber_weights,
+    schur_cg_solve,
 )
 from invcompcamtrack_tpu.sfm.triangulate import sym3x3_inverse
 
@@ -32,7 +33,8 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _local_step(prob: BAProblem, damp, axis: str,
-                huber_delta: float | None = None):
+                huber_delta: float | None = None,
+                reduced_solver: str = "dense", cg_iters: int = 32):
     """One damped (optionally Huber-IRLS) GN step on a landmark shard;
     psums over `axis`."""
     K = prob.poses.shape[0]
@@ -64,21 +66,28 @@ def _local_step(prob: BAProblem, damp, axis: str,
     Hxx_inv = sym3x3_inverse(Hxx)
 
     W = jnp.einsum("klij,ljm->klim", Hpx, Hxx_inv, precision=_PREC)
-    S_off = jax.lax.psum(
-        jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC), axis
-    )
     rhs = bp - jax.lax.psum(
         jnp.einsum("klim,lm->ki", W, bx, precision=_PREC), axis
     )
 
-    S = -S_off
-    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
-    fixed = prob.fixed_pose_mask.astype(res.dtype)
-    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
-        eye6 * fixed[:, None, None]
-    )
-
-    dpose = jnp.linalg.solve(S.reshape(6 * K, 6 * K), rhs.reshape(-1)).reshape(K, 6)
+    if reduced_solver == "cg":
+        # matrix-free PCG: one (K, 6) psum per matvec instead of the
+        # (6K)^2 S_off psum — the long-window scale-out path
+        dpose = schur_cg_solve(Hpp, W, Hpx, prob.fixed_pose_mask, rhs,
+                               num_iters=cg_iters, psum_axis=axis)
+    else:
+        S_off = jax.lax.psum(
+            jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC), axis
+        )
+        S = -S_off
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
+        fixed = prob.fixed_pose_mask.astype(res.dtype)
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            eye6 * fixed[:, None, None]
+        )
+        dpose = jnp.linalg.solve(
+            S.reshape(6 * K, 6 * K), rhs.reshape(-1)
+        ).reshape(K, 6)
     dpose = dpose * (~prob.fixed_pose_mask)[:, None]
 
     t = bx - jnp.einsum("klij,ki->lj", Hpx, dpose, precision=_PREC)
@@ -104,7 +113,8 @@ def _masked_msq(prob: BAProblem, axis: str,
 def ba_solve_sharded(prob: BAProblem, mesh: Mesh, num_iters: int = 10,
                      damp_init: float = 1e-3, damp_up: float = 10.0,
                      damp_down: float = 10.0, axis: str = "model",
-                     huber_delta: float | None = None):
+                     huber_delta: float | None = None,
+                     reduced_solver: str = "dense", cg_iters: int = 32):
     """Distributed LM loop.  The landmark dimension L of ``prob`` must be
     divisible by the mesh axis size; observations/mask shard with it.
 
@@ -130,7 +140,8 @@ def ba_solve_sharded(prob: BAProblem, mesh: Mesh, num_iters: int = 10,
         def step(carry, _):
             ps, lms, damp, err = carry
             cur = local._replace(poses=ps, landmarks=lms)
-            dpose, dlm = _local_step(cur, damp, axis, huber_delta)
+            dpose, dlm = _local_step(cur, damp, axis, huber_delta,
+                                     reduced_solver, cg_iters)
             cand = local._replace(poses=ps + dpose, landmarks=lms + dlm)
             err_new = _masked_msq(cand, axis, huber_delta)
             ok = err_new < err

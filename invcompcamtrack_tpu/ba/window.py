@@ -99,11 +99,77 @@ def _jacobians(prob: BAProblem):
     return jp * m, jx * m
 
 
-def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None):
+def schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters: int = 32,
+                   tol: float = 1e-10, psum_axis: str | None = None):
+    """Matrix-free preconditioned CG on the reduced camera system.
+
+    Solves ``S x = rhs`` where ``S = Hpp_diag + fixed*I - W Hxp^T``
+    WITHOUT materializing the (6K, 6K) matrix: each matvec is two
+    (K, L)-sized einsums, so cost is O(K L) per iteration instead of the
+    dense construction's O(K^2 L) + O(K^3) solve — the long-window path
+    (K >~ 50) the dense solve cannot scale to.
+
+    Preconditioner: exact block-diagonal of S (K dense 6x6 solves).
+    With ``psum_axis`` (inside shard_map over the landmark axis) the
+    landmark contractions become local partials + one psum of (K, 6)
+    [matvec] or (K, 6, 6) [preconditioner] per application.
+    """
+    K = rhs.shape[0]
+    dtype = rhs.dtype
+    fixed_f = fixed.astype(dtype)
+
+    def _ps(x):
+        return jax.lax.psum(x, psum_axis) if psum_axis is not None else x
+
+    def matvec(x):
+        t = jnp.einsum("klim,ki->lm", Hpx, x, precision=_PREC)      # (L,3)
+        y = _ps(jnp.einsum("klim,lm->ki", W, t, precision=_PREC))   # (K,6)
+        return (jnp.einsum("kij,kj->ki", Hpp, x, precision=_PREC)
+                + fixed_f[:, None] * x - y)
+
+    # block-diagonal preconditioner M_k = S_kk
+    S_kk = Hpp - _ps(
+        jnp.einsum("klim,kljm->kij", W, Hpx, precision=_PREC)
+    ) + fixed_f[:, None, None] * jnp.eye(6, dtype=dtype)
+
+    def prec(r):
+        return jnp.linalg.solve(S_kk, r[..., None])[..., 0]
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs - matvec(x0)
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+        active = rz > tol
+        alpha = jnp.where(active, alpha, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = prec(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 1e-30, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0), None,
+                                   length=num_iters)
+    return x
+
+
+def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
+                reduced_solver: str = "dense", cg_iters: int = 32):
     """One damped GN step via Schur elimination of the landmarks.
 
     With ``huber_delta``, IRLS reweighting (sqrt-weights folded into the
     residuals and Jacobians) turns the step into a robust GN step.
+    ``reduced_solver``: "dense" materializes + solves the (6K, 6K)
+    reduced system (exact; fine for small windows), "cg" runs
+    matrix-free preconditioned CG (the K >~ 50 long-window path).
     Returns (dpose (K,6), dlm (L,3)).
     """
     K, L = prob.mask.shape
@@ -141,19 +207,23 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None):
 
     # Schur complement: S = Hpp - sum_l Hpx Hxx^-1 Hxp
     W = jnp.einsum("klij,ljm->klim", Hpx, Hxx_inv, precision=_PREC)    # (K,L,6,3)
-    S_off = jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC)     # (K,6,K,6)
-    S = -S_off
-    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
     rhs = bp - jnp.einsum("klim,lm->ki", W, bx, precision=_PREC)       # (K,6)
-
-    # keep fixed poses' rows/cols well-conditioned (their J is zero)
     fixed = prob.fixed_pose_mask
-    diag_boost = (fixed.astype(res.dtype))[:, None] * jnp.ones(6, res.dtype)
-    S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
-        jnp.eye(6, dtype=res.dtype) * diag_boost[..., None, :] * jnp.eye(6, dtype=res.dtype)
-    )
 
-    dpose = jnp.linalg.solve(S.reshape(6 * K, 6 * K), rhs.reshape(-1)).reshape(K, 6)
+    if reduced_solver == "cg":
+        dpose = schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters=cg_iters)
+    else:
+        S_off = jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC)  # (K,6,K,6)
+        S = -S_off
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
+        # keep fixed poses' rows/cols well-conditioned (their J is zero)
+        diag_boost = (fixed.astype(res.dtype))[:, None] * jnp.ones(6, res.dtype)
+        S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
+            jnp.eye(6, dtype=res.dtype) * diag_boost[..., None, :] * jnp.eye(6, dtype=res.dtype)
+        )
+        dpose = jnp.linalg.solve(
+            S.reshape(6 * K, 6 * K), rhs.reshape(-1)
+        ).reshape(K, 6)
     dpose = dpose * (~fixed)[:, None]
 
     # back-substitute landmarks: dx = Hxx^-1 (bx - Hxp dpose)
@@ -164,19 +234,24 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None):
 
 def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
              damp_up: float = 10.0, damp_down: float = 10.0,
-             huber_delta: float | None = None):
+             huber_delta: float | None = None,
+             reduced_solver: str = "dense", cg_iters: int = 32):
     """Levenberg-Marquardt loop with accept/reject on the total error.
 
     ``huber_delta`` (pixels) turns on Huber-robust IRLS weighting —
     outlier observations beyond delta contribute linearly, so a bad
-    correspondence cannot drag the window.
+    correspondence cannot drag the window.  ``reduced_solver="cg"``
+    switches the reduced camera system to matrix-free PCG for long
+    windows (see ``schur_cg_solve``).
     Returns (poses, landmarks, info) with info = (final msq, initial msq).
     """
 
     def step(carry, _):
         poses, lms, damp, err = carry
         p0 = prob._replace(poses=poses, landmarks=lms)
-        dpose, dlm = _schur_step(p0, damp, huber_delta)
+        dpose, dlm = _schur_step(p0, damp, huber_delta,
+                                 reduced_solver=reduced_solver,
+                                 cg_iters=cg_iters)
         cand = prob._replace(poses=poses + dpose, landmarks=lms + dlm)
         _, err_new = ba_residuals(cand, huber_delta)
         ok = err_new < err

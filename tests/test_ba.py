@@ -119,3 +119,29 @@ def test_ba_huber_matches_l2_inliers_only(rng):
     p2, l2, (e2, _) = ba_solve(prob, num_iters=10, huber_delta=1e4)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-7)
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-5, atol=1e-18)
+
+
+def test_ba_cg_matches_dense(rng):
+    """Matrix-free PCG reduced-camera solve must reproduce the dense
+    Schur solve to solver precision."""
+    prob, poses_gt, X_gt = _make_problem(rng, K=8, L=96, noise=0.1,
+                                         perturb_pose=0.02, perturb_lm=0.08)
+    p_d, l_d, (e_d, _) = ba_solve(prob, num_iters=8)
+    p_c, l_c, (e_c, _) = ba_solve(prob, num_iters=8, reduced_solver="cg",
+                                  cg_iters=60)
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_d),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(e_c), float(e_d), rtol=1e-6)
+
+
+def test_ba_cg_long_window(rng):
+    """K=32 window (6K=192 reduced system): the CG path converges to GT
+    on a noiseless long-window problem — the regime where the dense
+    (6K)^2 materialization is the scaling wall."""
+    prob, poses_gt, X_gt = _make_problem(rng, K=32, L=256, noise=0.0,
+                                         perturb_pose=0.01, perturb_lm=0.05,
+                                         drop=0.3)
+    poses, lms, (err, err0) = ba_solve(prob, num_iters=12,
+                                       reduced_solver="cg", cg_iters=80)
+    assert float(err) < 1e-8, (float(err0), float(err))
+    np.testing.assert_allclose(np.asarray(poses), poses_gt, atol=1e-4)

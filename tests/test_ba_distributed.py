@@ -37,3 +37,32 @@ def test_sharded_ba_under_jit(rng):
     poses, lms, (err, err0) = fn(prob)
     assert float(err) < float(err0)
     assert np.all(np.isfinite(np.asarray(poses)))
+
+
+def test_sharded_ba_cg_matches_dense(rng):
+    """Distributed CG (one (K,6) psum per matvec) must match the dense
+    sharded solve."""
+    prob, _, _ = _make_problem(rng, K=6, L=64, noise=0.1,
+                               perturb_pose=0.02, perturb_lm=0.08)
+    mesh = make_mesh(n_data=1, n_model=8)
+    p_d, l_d, (e_d, _) = ba_solve_sharded(prob, mesh, num_iters=6)
+    p_c, l_c, (e_c, _) = ba_solve_sharded(prob, mesh, num_iters=6,
+                                          reduced_solver="cg", cg_iters=60)
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_d),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(e_c), float(e_d), rtol=1e-5)
+
+
+def test_sharded_ba_bench_shapes(rng):
+    """Dryrun-scale shapes on the CPU mesh: K=16 window, L=1024 sharded
+    landmarks, CG reduced solve — compiles, runs, reduces error."""
+    prob, _, _ = _make_problem(rng, K=16, L=1024, noise=0.2,
+                               perturb_pose=0.02, perturb_lm=0.1, drop=0.4)
+    mesh = make_mesh(n_data=1, n_model=8)
+    fn = jax.jit(lambda pr: ba_solve_sharded(pr, mesh, num_iters=4,
+                                             reduced_solver="cg",
+                                             cg_iters=40,
+                                             huber_delta=2.0))
+    poses, lms, (err, err0) = fn(prob)
+    assert float(err) < float(err0)
+    assert np.all(np.isfinite(np.asarray(poses)))
