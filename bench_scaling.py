@@ -83,8 +83,29 @@ def main():
         r["efficiency"] = round(r["pairs_per_s"] / (base * r["devices"]), 3)
         print(f"devices {r['devices']:2d}: {r['pairs_per_s']:8.1f} pairs/s "
               f"(efficiency {r['efficiency']:.2f})")
+
+    # analytic ICI model (parallel/model.py): per-step collective bytes
+    # vs the measured single-device compute time — the multi-chip
+    # scaling evidence this single-chip environment can produce
+    from invcompcamtrack_tpu.parallel.model import (
+        model_step,
+        tracker_psum_bytes,
+    )
+    t_compute = per_dev_batch / base  # s per device-step at batch/device
+    m = model_step(
+        tracker_psum_bytes(per_dev_batch, cfg.maxiter, cfg.num_levels),
+        t_compute,
+    )
+    modeled = {
+        "ici_bytes_per_step": m.bytes_per_step,
+        "modeled_comm_time_s": round(m.comm_time_s, 9),
+        "modeled_scaling_efficiency": round(m.scaling_efficiency, 5),
+    }
+    print(f"modeled ICI: {m.bytes_per_step:.3g} B/step -> "
+          f"{m.comm_time_s * 1e6:.2f} us vs {t_compute * 1e3:.2f} ms compute "
+          f"-> efficiency {m.scaling_efficiency:.4f}")
     print(json.dumps({"metric": "scaling", "backend": jax.default_backend(),
-                      "rows": rows}))
+                      "rows": rows, "modeled": modeled}))
 
 
 if __name__ == "__main__":

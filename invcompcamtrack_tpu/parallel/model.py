@@ -1,0 +1,64 @@
+"""Analytic communication model for the distributed paths.
+
+Multi-chip hardware is not reachable from this environment, so the
+>=80% frames/s scaling target is supported by (a) mechanism tests on a
+virtual CPU mesh (bench_scaling.py, tests/test_ba_distributed.py) and
+(b) this explicit bytes-over-ICI model: every collective the sharded
+programs execute is enumerable from shapes alone, and the resulting
+per-step communication time on v5e ICI is orders of magnitude below the
+measured per-step compute time, so scaling is compute-bound.
+
+v5e numbers (public spec): 4 ICI links/chip x 100 GB/s aggregate
+~ 1.6e11 B/s usable all-reduce bandwidth per chip; we use a
+conservative 5e10 B/s effective all-reduce rate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+V5E_ICI_ALLREDUCE_BYTES_PER_S = 5e10
+
+
+@dataclass
+class CommModel:
+    bytes_per_step: float
+    comm_time_s: float
+    compute_time_s: float
+
+    @property
+    def scaling_efficiency(self) -> float:
+        """Modeled 1->N strong-scaling efficiency: compute shrinks with N
+        (already folded into compute_time_s), comm does not."""
+        return self.compute_time_s / (self.compute_time_s + self.comm_time_s)
+
+
+def tracker_psum_bytes(batch: int, iters_per_scale: int, num_scales: int,
+                       dtype_bytes: int = 4) -> float:
+    """Point-axis (tp) sharded IC-GN: per scale one (B,6,6) Hessian psum
+    + per iteration one (B,6) rhs psum (XLA-inserted under GSPMD)."""
+    per_scale = batch * 36 * dtype_bytes
+    per_iter = batch * 6 * dtype_bytes
+    return num_scales * (per_scale + iters_per_scale * per_iter)
+
+
+def ba_psum_bytes(K: int, lm_iters: int, reduced_solver: str = "dense",
+                  cg_iters: int = 32, dtype_bytes: int = 4) -> float:
+    """Landmark-sharded Schur BA: per LM iteration
+    dense: Hpp (K,6,6) + bp (K,6) + S_off (6K)^2 + rhs (K,6)
+    cg:    Hpp + bp + rhs + block-precond (K,6,6) + cg_iters x (K,6)."""
+    hpp = K * 36 * dtype_bytes
+    vec = K * 6 * dtype_bytes
+    if reduced_solver == "dense":
+        per_iter = hpp + vec + (6 * K) ** 2 * dtype_bytes + vec
+    else:
+        per_iter = hpp + vec + vec + hpp + cg_iters * vec
+    return lm_iters * per_iter
+
+
+def model_step(bytes_per_step: float, compute_time_s: float) -> CommModel:
+    return CommModel(
+        bytes_per_step=bytes_per_step,
+        comm_time_s=bytes_per_step / V5E_ICI_ALLREDUCE_BYTES_PER_S,
+        compute_time_s=compute_time_s,
+    )
