@@ -101,13 +101,32 @@ def _lk_refine(I0, I1, flow, iters: int, radius: int, min_det: float):
     return jax.lax.fori_loop(0, iters, body, flow)
 
 
+def global_shift(I0: jnp.ndarray, I1: jnp.ndarray) -> jnp.ndarray:
+    """Dominant integer translation I0 -> I1 via FFT cross-correlation
+    (the coarse initializer role DIS fills with its coarsest grid
+    search): peak of ifft(F1 conj(F0)) at d means I1(x) ~ I0(x - d)."""
+    w0 = I0 - I0.mean()
+    w1 = I1 - I1.mean()
+    xc = jnp.real(jnp.fft.ifft2(jnp.fft.fft2(w1) * jnp.conj(jnp.fft.fft2(w0))))
+    xc = jnp.fft.fftshift(xc)
+    H, W = I0.shape
+    idx = jnp.argmax(xc)
+    dy = (idx // W) - H // 2
+    dx = (idx % W) - W // 2
+    return jnp.stack([dx, dy]).astype(I0.dtype)
+
+
 def dense_flow_lk(pyr0: Pyramid, pyr1: Pyramid, padding: int,
                   iters: int = 3, radius: int = 4,
-                  min_det: float = 1e-4) -> jnp.ndarray:
+                  min_det: float = 1e-4, global_init: bool = True) -> jnp.ndarray:
     """Dense flow from image 0 to image 1.
 
     pyr0/pyr1: pyramids from image.pyramid.build_pyramid (their padding
     is stripped here).  Returns (H, W, 2) at full resolution.
+
+    ``global_init`` seeds the coarsest level with the FFT-correlation
+    dominant translation — extends the usable range far beyond the
+    pyramid's LK basin for large mostly-translational motion.
     """
     L = len(pyr0)
     flow = None
@@ -116,7 +135,9 @@ def dense_flow_lk(pyr0: Pyramid, pyr1: Pyramid, padding: int,
         I1 = pyr1[s].img[padding:-padding, padding:-padding]
         H, W = I0.shape
         if flow is None:
-            flow = jnp.zeros((H, W, 2), I0.dtype)
+            init = global_shift(I0, I1) if global_init \
+                else jnp.zeros((2,), I0.dtype)
+            flow = jnp.broadcast_to(init, (H, W, 2)).astype(I0.dtype)
         else:
             flow = 2.0 * jax.image.resize(flow, (H, W, 2), "bilinear")
         flow = _lk_refine(I0, I1, flow, iters, radius, min_det)

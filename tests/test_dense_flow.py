@@ -79,3 +79,50 @@ def test_dense_flow_feeds_track_table(rng):
     assert bool(jnp.all(valid))
     d = np.asarray(moved - pts)
     np.testing.assert_allclose(np.median(d[:, 0]), 2.0, atol=0.3)
+
+
+def test_global_shift_initializer(rng):
+    """FFT cross-correlation recovers a dominant integer translation."""
+    import jax.numpy as jnp
+    from invcompcamtrack_tpu.match.dense_flow import global_shift
+    img = rng.normal(size=(96, 128)).astype(np.float32)
+    # smooth it so shifting by slicing is meaningful
+    from scipy.ndimage import gaussian_filter
+    img = gaussian_filter(img, 2.0)
+    dy, dx = 7, -11
+    i0 = img[20:84, 30:110]
+    i1 = img[20 + dy:84 + dy, 30 + dx:110 + dx]
+    s = np.asarray(global_shift(jnp.asarray(i0), jnp.asarray(i1)))
+    # I1(x) = I0(x + (dy,dx)) -> flow 0->1 = -(dx,dy)
+    assert abs(s[0] - (-dx)) <= 1 and abs(s[1] - (-dy)) <= 1, s
+
+
+def test_dense_flow_large_translation(rng):
+    """With the global initializer the usable range extends far beyond
+    the pyramid LK basin (median sub-pixel at ~50 px motion)."""
+    import jax.numpy as jnp
+    from invcompcamtrack_tpu.image.pyramid import build_pyramid
+    from invcompcamtrack_tpu.match.dense_flow import dense_flow_lk
+    from invcompcamtrack_tpu.match.flow_bench import plane_gt_flow
+    from invcompcamtrack_tpu.vo import synthetic
+    from tests.oracles import geometry_np as geo
+
+    wh = (320, 240)
+    scene = synthetic.make_scene(rng, wh=wh, fc=(288.0, 304.0),
+                                 freq_range=(0.3, 4.0))
+    img0 = synthetic.render(scene, geo.se3_exp(np.zeros(6)))
+    p1 = np.r_[0.55, 0.2, 0.05, 0.002, 0.003, 0.001]
+    G1 = geo.se3_exp(p1)
+    img1 = synthetic.render(scene, G1)
+    gt = plane_gt_flow(scene, geo.se3_exp(np.zeros(6)), G1)
+    pad = 16
+    pyr0 = build_pyramid(jnp.asarray(img0, jnp.float32), 4, pad)
+    pyr1 = build_pyramid(jnp.asarray(img1, jnp.float32), 4, pad)
+    flow = np.asarray(dense_flow_lk(pyr0, pyr1, pad, iters=6, radius=4))
+    err = np.linalg.norm(flow - gt, axis=-1)
+    assert np.linalg.norm(gt, axis=-1).mean() > 20
+    # only pixels whose GT correspondence stays in frame have data
+    yy, xx = np.mgrid[0:wh[1], 0:wh[0]]
+    tx, ty = xx + gt[..., 0], yy + gt[..., 1]
+    valid = (tx >= 0) & (tx < wh[0]) & (ty >= 0) & (ty < wh[1])
+    assert np.median(err[valid]) < 4.0, np.median(err[valid])
