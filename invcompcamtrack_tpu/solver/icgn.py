@@ -40,6 +40,7 @@ from invcompcamtrack_tpu.core import pose as pose_ops
 from invcompcamtrack_tpu.core.camera import CameraPyramid
 from invcompcamtrack_tpu.image.patch import extract_patches, extract_patches_grad
 from invcompcamtrack_tpu.image.pyramid import Pyramid
+from invcompcamtrack_tpu.ops import icgn_iter_pallas as fused_iter
 from invcompcamtrack_tpu.ops.linalg import cholesky_solve_sym
 from invcompcamtrack_tpu.ops.window_sample import (
     gather_windows_any,
@@ -143,14 +144,30 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
     Xc_safe = jnp.where(valid_ref[..., None], Xc_ref, jnp.ones_like(Xc_ref))
     sd = steepest_descent_images(p_dx, p_dy, Xc_safe, fx, fy)
     sd = sd * valid_ref[..., None, None, None].astype(sd.dtype)
-    sd_flat = sd.reshape(lead + (N, 6, npix))
 
-    # [6] 6x6 Hessian: one MXU contraction over all (point, pixel) pairs
-    H = jnp.einsum("...nkp,...nlp->...kl", sd_flat, sd_flat, precision=_PREC)
+    # fused-iteration fast path: the whole GN iteration body (window
+    # resample + residual + sd projection) runs as ONE Pallas kernel per
+    # iteration (ops/icgn_iter_pallas.py) — stride-16 lane layouts
+    use_fused = cfg.window_cache and fused_iter.supported(
+        cfg.psz, cfg.window_size, sd.dtype)
 
-    ref_flat = (
-        p_img * valid_ref[..., None, None].astype(p_img.dtype)
-    ).reshape(lead + (N, npix))
+    if use_fused:
+        sd_s = fused_iter.to_strided(sd)                 # lead+(N,6,128)
+        H = jnp.einsum("...nkp,...nlp->...kl", sd_s, sd_s, precision=_PREC)
+        ref_s = fused_iter.to_strided(
+            p_img * valid_ref[..., None, None].astype(p_img.dtype)
+        ).reshape(-1, fused_iter.PSZ * fused_iter.WIN)
+        sd_sf = sd_s.reshape(-1, 6 * fused_iter.PSZ * fused_iter.WIN)
+        sd_flat = None
+        ref_flat = None
+    else:
+        sd_flat = sd.reshape(lead + (N, 6, npix))
+        # [6] 6x6 Hessian: one MXU contraction over (point, pixel) pairs
+        H = jnp.einsum("...nkp,...nlp->...kl", sd_flat, sd_flat,
+                       precision=_PREC)
+        ref_flat = (
+            p_img * valid_ref[..., None, None].astype(p_img.dtype)
+        ).reshape(lead + (N, npix))
 
     if cfg.window_cache:
         # cache local query-image windows at the scale-entry projections;
@@ -163,6 +180,8 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         origins = window_origin(uv_entry, cfg.psz, cfg.window_size,
                                 cam_level_padding(cfg))
         qwin = gather_windows_any(level_new.img, origins, cfg.window_size)
+        if use_fused:
+            qwin_flat = qwin.reshape(-1, cfg.window_size * cfg.window_size)
 
     def cond(state):
         it, _p, _G, _normdp, _normdp_init, active = state
@@ -174,20 +193,43 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         uv_new = pose_ops.project_points(G_cur, Xn, fx, fy, cx, cy)
         valid_new = pose_ops.in_frustum(uv_new, swo, sho) & valid_ref
         uv_new = jnp.where(valid_new[..., None], uv_new, jnp.zeros_like(uv_new))
-        # [8] query patches + error image
-        if cfg.window_cache:
-            q = sample_from_windows(
-                qwin, origins, uv_new, cfg.psz, cam_level_padding(cfg),
-                patch_norm=cfg.dopatchnorm,
-            ).reshape(lead + (N, npix))
+        # [8]+[9a] query patches + error image + sd projection
+        if use_fused:
+            # same tap math as sample_from_windows, folded into the kernel
+            pad = cam_level_padding(cfg)
+            n_off = cfg.window_size - cfg.psz
+            u0 = jnp.ceil(uv_new[..., 0] + 1e-5).astype(jnp.int32)
+            v0 = jnp.ceil(uv_new[..., 1] + 1e-5).astype(jnp.int32)
+            rx = uv_new[..., 0] - jnp.floor(uv_new[..., 0])
+            ry = uv_new[..., 1] - jnp.floor(uv_new[..., 1])
+            row_w = jnp.clip(v0 - cfg.psz // 2 - 1 + pad - origins[..., 0],
+                             0, n_off - 1)
+            col_w = jnp.clip(u0 - cfg.psz // 2 - 1 + pad - origins[..., 1],
+                             0, n_off - 1)
+            wts = jnp.stack([rx * ry, (1 - rx) * ry, rx * (1 - ry),
+                             (1 - rx) * (1 - ry)], axis=-1)
+            rhs_pts = fused_iter.fused_gn_rhs(
+                qwin_flat, sd_sf, ref_s,
+                row_w.reshape(-1), col_w.reshape(-1),
+                wts.reshape(-1, 4).astype(jnp.float32),
+                valid_new.reshape(-1), patch_norm=cfg.dopatchnorm,
+            )
+            rhs = jnp.sum(rhs_pts.reshape(lead + (N, 6)), axis=-2)
         else:
-            q = extract_patches(
-                level_new.img, uv_new, cfg.psz, cam_level_padding(cfg),
-                patch_norm=cfg.dopatchnorm,
-            ).reshape(lead + (N, npix))
-        pdiff = (ref_flat - q) * valid_new[..., None].astype(q.dtype)
-        # [9a] rhs_k = sum_{n,p} sd[n,k,p] * pdiff[n,p]
-        rhs = jnp.einsum("...nkp,...np->...k", sd_flat, pdiff, precision=_PREC)
+            if cfg.window_cache:
+                q = sample_from_windows(
+                    qwin, origins, uv_new, cfg.psz, cam_level_padding(cfg),
+                    patch_norm=cfg.dopatchnorm,
+                ).reshape(lead + (N, npix))
+            else:
+                q = extract_patches(
+                    level_new.img, uv_new, cfg.psz, cam_level_padding(cfg),
+                    patch_norm=cfg.dopatchnorm,
+                ).reshape(lead + (N, npix))
+            pdiff = (ref_flat - q) * valid_new[..., None].astype(q.dtype)
+            # rhs_k = sum_{n,p} sd[n,k,p] * pdiff[n,p]
+            rhs = jnp.einsum("...nkp,...np->...k", sd_flat, pdiff,
+                             precision=_PREC)
         # [9b] solve 6x6 normal equations.  The reference used fullPivLu
         # (odometer.cpp:509-515) and noted llt as fastest; batched LU on
         # TPU lowers to pivot loops (~1.8us/solve), so we use an

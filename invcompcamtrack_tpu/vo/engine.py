@@ -71,9 +71,12 @@ class VOConfig:
     reobs_gate_px: float = 4.0   # reprojection gate on measured re-observations
     ba_obs_gate_px: float = 10.0  # hard residual gate: gross outlier obs are
     #                               rejected from the window before BA
+    min_tri_angle_deg: float = 0.4  # ray-angle gate on new triangulations
     max_obs_fail: int = 2        # consecutive failures before retirement
     min_kf_for_ba: int = 3
     min_lm_for_ba: int = 12
+    ba_mode: str = "structure"   # "structure": poses fixed, refine points;
+    #                              "full": joint pose+point window BA
 
 
 class VOState(NamedTuple):
@@ -198,30 +201,52 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     lm_valid = state.lm_valid & (lm_fail < cfg.max_obs_fail)
 
     # ---- (2) triangulate new landmarks from measured corner tracks ----
-    interior = prev_pyr[0].img[cfgt.psz:-cfgt.psz, cfgt.psz:-cfgt.psz]
+    # Partner = the OLDEST valid keyframe in the window: the longest
+    # available baseline.  Short-baseline 2-view triangulations have
+    # depth errors ~ z^2/(f b) that corrupt tracking before BA can fix
+    # them — the ray-angle gate below kills them instead.
+    slots_all = jnp.arange(K)
+    # exclude the slot being evicted this step: its observation row is
+    # overwritten below, so it cannot found new landmarks
+    ages_all = jnp.where(state.kf_valid & (slots_all != new_slot),
+                         (prev - slots_all) % K, -1)
+    old_slot = jnp.argmax(ages_all)
+    old_pyr = _index_pyr(state.kf_pyr, old_slot)
+    old_pose = _row_get(state.kf_poses, old_slot)
+    old_obs = _row_get(state.kf_obs, old_slot)
+    old_obs_mask = _row_get(state.kf_obs_mask, old_slot)
+    G_old = lie.se3_exp(old_pose)
+
+    interior = old_pyr[0].img[cfgt.psz:-cfgt.psz, cfgt.psz:-cfgt.psz]
     xy0, cvalid = shi_tomasi_corners(
         interior, max_corners=cfg.corners_per_kf, border=cfgt.psz
     )
     xy1, lk_okc = lk_forward_backward(
-        prev_pyr, pyr, xy0, psz=cfg.lk_psz, num_levels=cfgt.num_levels
+        old_pyr, pyr, xy0, psz=cfg.lk_psz, num_levels=cfgt.num_levels
     )
     parallax = jnp.linalg.norm(xy1 - xy0, axis=1)
     good = cvalid & lk_okc & (parallax > cfg.min_parallax_px)
 
-    c_prev = lie.camera_center(G_prev)
+    c_old = lie.camera_center(G_old)
     c_new = lie.camera_center(G_new)
-    P0 = pose_ops.projection_matrix(fc2, cc2, G_prev[:, :3], c_prev)
+    P0 = pose_ops.projection_matrix(fc2, cc2, G_old[:, :3], c_old)
     P1 = pose_ops.projection_matrix(fc2, cc2, G_new[:, :3], c_new)
     P = jnp.broadcast_to(jnp.stack([P0, P1]), (xy0.shape[0], 2, 3, 4))
     obs2 = jnp.stack([xy0, xy1], axis=1)
-    X_new, _ = triangulate_dlt(P, obs2, R0=G_prev[:, :3], c0=c_prev)
+    X_new, _ = triangulate_dlt(P, obs2, R0=G_old[:, :3], c0=c_old)
     X_new, _ = triangulate_gn(P, obs2, jnp.nan_to_num(X_new), num_iters=3)
     depth_ok = (
         (pose_ops.transform_points(G_new, X_new)[..., 2] > 0.05)
-        & (pose_ops.transform_points(G_prev, X_new)[..., 2] > 0.05)
+        & (pose_ops.transform_points(G_old, X_new)[..., 2] > 0.05)
         & jnp.all(jnp.isfinite(X_new), axis=1)
     )
-    good = good & depth_ok
+    # ray-angle gate: depth is only observable with enough baseline
+    r0 = X_new - c_old
+    r1 = X_new - c_new
+    cosang = jnp.sum(r0 * r1, axis=1) / jnp.maximum(
+        jnp.linalg.norm(r0, axis=1) * jnp.linalg.norm(r1, axis=1), 1e-12)
+    ang_ok = cosang < jnp.cos(jnp.deg2rad(cfg.min_tri_angle_deg))
+    good = good & depth_ok & ang_ok
 
     landmarks, lm_valid, seeded, take = _fill_slots(
         state.landmarks, lm_valid, X_new, good
@@ -231,15 +256,15 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     # seeded slots get their two MEASURED founding observations
     nc = xy0.shape[0]
     take_c = jnp.clip(take, 0, nc - 1)
-    prev_obs = jnp.where(seeded[:, None], jnp.take(xy0, take_c, axis=0), prev_obs)
-    prev_obs_mask = prev_obs_mask | seeded
+    old_obs = jnp.where(seeded[:, None], jnp.take(xy0, take_c, axis=0), old_obs)
+    old_obs_mask = old_obs_mask | seeded
     new_obs = jnp.where(seeded[:, None], jnp.take(xy1, take_c, axis=0), xy_meas)
     new_obs_mask = reobs | seeded
 
     # ---- (3) ring write: evict new_slot, record the keyframe ----
-    kf_obs = _row_set(state.kf_obs, prev, prev_obs)
+    kf_obs = _row_set(state.kf_obs, old_slot, old_obs)
     kf_obs = _row_set(kf_obs, new_slot, new_obs)
-    kf_obs_mask = _row_set(state.kf_obs_mask, prev, prev_obs_mask)
+    kf_obs_mask = _row_set(state.kf_obs_mask, old_slot, old_obs_mask)
     kf_obs_mask = _row_set(kf_obs_mask, new_slot, new_obs_mask)
     kf_poses = _row_set(state.kf_poses, new_slot, p_new)
     kf_valid = state.kf_valid.at[new_slot].set(True)
@@ -253,9 +278,25 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     lm_valid = lm_valid & observed_any
 
     # ---- (4) windowed BA on the measured observation grid ----
-    slots = jnp.arange(K)
-    free = (slots == new_slot) | (slots == prev)
-    fixed = ~free  # invalid slots count as fixed (diagonal boost in S)
+    if cfg.ba_mode == "structure":
+        # structure-only refinement (the engine default): every pose is
+        # held fixed; BA polishes the LANDMARKS against the measured
+        # observation grid.  Pose accuracy comes from the photometric
+        # IC-GN odometer, which on its own tracks at ~1e-4 error when the
+        # map is good — the same division of labor as the reference,
+        # whose accuracy log improves ~10x by refining *points*, not
+        # poses (reference: misc_src/pose_tracking_acc.txt:1-57,
+        # triang.c refinement entry points).
+        fixed = jnp.ones((K,), bool)
+    else:
+        # joint mode gauge: the two OLDEST valid keyframes anchor the
+        # window; every newer pose floats, so BA can repair drift before
+        # a pose ages into the anchor set (invalid slots count as fixed
+        # — diagonal boost in S)
+        slots = jnp.arange(K)
+        ages = jnp.where(kf_valid, (new_slot - slots) % K, -1)
+        oldest2 = jax.lax.top_k(ages, 2)[0][-1]
+        fixed = (~kf_valid) | (ages >= oldest2)
     mask = kf_obs_mask & kf_valid[:, None] & lm_valid[None, :]
     prob = BAProblem(
         poses=kf_poses, landmarks=landmarks, obs=kf_obs, mask=mask,
