@@ -1,0 +1,278 @@
+"""The committed accuracy log: long-sequence VO accuracy on documented
+synthetic benchmarks — the new-framework analogue of the reference's
+recorded accuracy file (reference: misc_src/pose_tracking_acc.txt:1-57,
+produced by the sequence drivers run_odometer_test.m:197-250 and
+misc_src/run_test_OF_track.py).
+
+REAL-DATA CAVEAT (stated explicitly, per the round-2 plan): this
+environment has zero network egress and ships no KITTI/EuRoC images, so
+the target-dataset rows cannot be produced here.  Instead the log runs
+long (100-200 frame) sequences on two exactly-rendered synthetic worlds:
+
+- a textured multi-depth CORRIDOR (ground + walls + back plane, depth
+  4-40 units, occlusion boundaries) — the KITTI-like forward-drive and
+  turn workloads,
+- the textured ground PLANE — the lateral-sweep landmark-turnover
+  workload.
+
+Both render analytically at any pose (zero resampling error), so ATE is
+measured against exact ground truth.  Each sequence runs under three BA
+modes, mirroring the reference log's "without / with 3d point position
+refinement" sections:
+
+- off:        pure photometric odometer (no refinement),
+- structure:  poses from the odometer, BA refines LANDMARKS against
+              measured observations (the engine default; the reference's
+              accuracy log improves ~10x the same way — point
+              refinement, not pose refinement),
+- full:       joint pose+landmark windowed BA.
+
+Writes ACCURACY.md and accuracy_log.json at the repo root.
+
+Usage:  python examples/run_accuracy_log.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from invcompcamtrack_tpu.config import ICGNParams
+from invcompcamtrack_tpu.core import lie
+from invcompcamtrack_tpu.core.camera import CameraPyramid
+from invcompcamtrack_tpu.vo import synthetic
+from invcompcamtrack_tpu.vo.engine import VisualOdometry, VOConfig
+from invcompcamtrack_tpu.vo.metrics import ate_rmse, rpe_rot, rpe_trans
+
+
+def _exp(p):
+    return np.asarray(lie.se3_exp(jnp.asarray(p, jnp.float64)), np.float64)
+
+
+def _centers(poses):
+    return np.stack([-_exp(p)[:, :3].T @ _exp(p)[:, 3] for p in poses])
+
+
+# ---------------------------------------------------------------------------
+# sequence definitions
+
+
+def path_corridor_fwd(n):
+    """Forward drive down the corridor with gentle sway + yaw wobble."""
+    rng = np.random.default_rng(11)
+    poses = [np.zeros(6)]
+    for i in range(1, n):
+        d = np.r_[0.01 * np.sin(i * 0.15), 0.004 * np.sin(i * 0.23), 0.06,
+                  0.0015 * np.sin(i * 0.11), 0.002 * np.sin(i * 0.17),
+                  rng.normal() * 3e-4]
+        poses.append(poses[-1] + d)
+    return np.stack(poses)
+
+
+def path_corridor_turn(n):
+    """Forward + sustained yaw: the camera sweeps across the walls."""
+    poses = [np.zeros(6)]
+    for i in range(1, n):
+        yaw = 0.004 * np.sin(i * 2 * np.pi / n * 2)  # S-curve
+        poses.append(poses[-1] + np.r_[0.0, 0.002 * np.sin(i * 0.2), 0.035,
+                                       0.0, yaw, 0.0])
+    return np.stack(poses)
+
+
+def path_plane_sweep(n):
+    """Strong lateral sweep over the ground plane: landmark turnover."""
+    poses = [np.zeros(6)]
+    for i in range(1, n):
+        poses.append(poses[-1] + np.r_[0.05, 0.004 * np.sin(i * 0.3), 0.008,
+                                       1e-3 * np.sin(i * 0.12), 2e-3, 0.0])
+    return np.stack(poses)
+
+
+def _surface_rms(scene, landmarks, valid):
+    """RMS distance of the live map to the true scene surfaces (the
+    point-refinement quality the reference's log tracks)."""
+    X = np.asarray(landmarks)[np.asarray(valid)]
+    if X.shape[0] == 0:
+        return float("nan")
+    if isinstance(scene, synthetic.CorridorScene):
+        d = np.abs(X @ scene.normals.T - scene.offsets)  # (N, P)
+        d = d.min(axis=1)
+    else:
+        d = np.abs(X[:, 2] - scene.z0)
+    return float(np.sqrt(np.mean(d ** 2)))
+
+
+def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
+                 self_init=False, chunk=20):
+    wh = scene.wh
+    tracker = ICGNParams(lv_f=3, lv_l=0, psz=8, maxiter=8, normdp_ratio=0.01)
+    window = 5
+    cfg = VOConfig(tracker=tracker, max_landmarks=512, window=window,
+                   keyframe_stride=2, corners_per_kf=512,
+                   min_parallax_px=1.0,
+                   ba_mode="structure" if ba_mode == "off" else ba_mode,
+                   # "off": make the BA gate unreachable
+                   min_kf_for_ba=window + 1 if ba_mode == "off" else 3)
+    cam = CameraPyramid.create(scene.fc, scene.cc, wh,
+                               tracker.num_levels, tracker.psz)
+    vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
+
+    n = len(poses_gt)
+    t_render0 = time.perf_counter()
+    imgs = [render(scene, _exp(p)) for p in poses_gt]
+    t_render = time.perf_counter() - t_render0
+
+    rng = np.random.default_rng(5)
+    if self_init:
+        vo.bootstrap_from_images(imgs[0], imgs[1])
+    else:
+        seeds = sample_pts(scene, rng, 400)
+        vo.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+
+    poses_est = [np.asarray(poses_gt[0], np.float32),
+                 np.asarray(vo.state.cur_pose)]
+    t0 = time.perf_counter()
+    # uniform chunks only: every run_frames call compiles the same
+    # scan program (persistent-cache friendly across sequence lengths);
+    # the remainder goes through the per-frame programs
+    i = 2
+    while i + chunk <= n:
+        out = vo.run_frames(np.stack(imgs[i:i + chunk]))
+        poses_est.extend(list(out))
+        i += chunk
+    for j in range(i, n):
+        poses_est.append(vo.process_frame(imgs[j]))
+    t_track = time.perf_counter() - t0
+
+    poses_est = np.stack(poses_est)
+    c_est = _centers(poses_est)
+    c_gt = _centers(poses_gt)
+    R_est = np.stack([_exp(p)[:, :3] for p in poses_est])
+    R_gt = np.stack([_exp(p)[:, :3] for p in poses_gt])
+    path_len = float(np.sum(np.linalg.norm(np.diff(c_gt, axis=0), axis=1)))
+
+    with_scale = bool(self_init)  # monocular scale is free when self-init
+    ate = float(ate_rmse(jnp.asarray(c_est), jnp.asarray(c_gt),
+                         with_scale=with_scale))
+    ate_un = float(ate_rmse(jnp.asarray(c_est), jnp.asarray(c_gt),
+                            align=False)) if not self_init else float("nan")
+    rpe_t = float(rpe_trans(jnp.asarray(c_est), jnp.asarray(c_gt)))
+    rpe_r = float(rpe_rot(jnp.asarray(R_est), jnp.asarray(R_gt)))
+    final_drift = (float(np.linalg.norm(c_est[-1] - c_gt[-1]))
+                   if not self_init else float("nan"))
+
+    return {
+        "sequence": name, "ba_mode": ba_mode, "frames": n,
+        "image": f"{wh[0]}x{wh[1]}", "path_len": round(path_len, 3),
+        "ate_rmse": ate, "ate_rmse_unaligned": ate_un,
+        "ate_pct_path": 100.0 * ate / path_len,
+        "final_drift": final_drift,
+        "rpe_trans": rpe_t, "rpe_rot_deg": float(np.degrees(rpe_r)),
+        "map_surface_rms": _surface_rms(scene, vo.landmarks, vo.lm_valid),
+        "landmarks_alive": int(np.asarray(vo.lm_valid).sum()),
+        "track_s": round(t_track, 2), "render_s": round(t_render, 2),
+        "fps_engine": round((n - 2) / t_track, 2),
+        "self_init": self_init,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="short sequences (CI smoke)")
+    ap.add_argument("--out", default="ACCURACY.md")
+    args = ap.parse_args()
+    q = 4 if args.quick else 1
+
+    rng = np.random.default_rng(0)
+    corridor = synthetic.make_corridor(rng, wh=(640, 480), fc=(520.0, 525.0))
+    plane = synthetic.make_scene(rng, wh=(640, 480), fc=(520.0, 525.0),
+                                 z0=8.0, freq_range=(0.5, 6.0))
+
+    seqs = [
+        ("corridor-fwd", corridor, synthetic.render_corridor,
+         synthetic.sample_corridor_points, path_corridor_fwd(200 // q), False),
+        ("corridor-turn", corridor, synthetic.render_corridor,
+         synthetic.sample_corridor_points, path_corridor_turn(120 // q), False),
+        ("plane-sweep", plane, synthetic.render,
+         lambda s, r, n: synthetic.sample_plane_points(s, r, n, margin=24),
+         path_plane_sweep(160 // q), False),
+        ("corridor-selfinit", corridor, synthetic.render_corridor,
+         synthetic.sample_corridor_points, path_corridor_fwd(100 // q), True),
+    ]
+
+    rows = []
+    for name, scene, render, sample, path, self_init in seqs:
+        modes = ["structure"] if self_init else ["off", "structure", "full"]
+        for mode in modes:
+            r = run_sequence(name, scene, render, sample, path, mode,
+                             self_init=self_init)
+            rows.append(r)
+            print(json.dumps(r))
+
+    with open("accuracy_log.json", "w") as f:
+        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f, indent=1)
+
+    hdr = ("| sequence | frames | BA mode | ATE RMSE | ATE %path | "
+           "final drift | RPE trans | RPE rot (deg) | map RMS | "
+           "landmarks | fps |\n|---|---|---|---|---|---|---|---|---|---|---|\n")
+    lines = []
+    for r in rows:
+        lines.append(
+            f"| {r['sequence']}{' (self-init)' if r['self_init'] else ''} "
+            f"| {r['frames']} | {r['ba_mode']} | {r['ate_rmse']:.4f} "
+            f"| {r['ate_pct_path']:.3f}% | {r['final_drift']:.4f} "
+            f"| {r['rpe_trans']:.5f} | {r['rpe_rot_deg']:.4f} "
+            f"| {r['map_surface_rms']:.4f} | {r['landmarks_alive']} "
+            f"| {r['fps_engine']:.1f} |")
+    doc = f"""# Recorded VO accuracy log
+
+Generated by `python examples/run_accuracy_log.py` on `{jax.devices()[0]}`.
+
+**Real-data caveat (explicit):** this environment has no network egress
+and no KITTI/EuRoC images on disk, so the north-star real-dataset rows
+cannot be produced here.  These are long synthetic sequences on exactly-
+rendered worlds (multi-depth textured corridor, depth 4-40 units, with
+occlusion boundaries; and a textured ground plane), so ATE is against
+exact ground truth.  The harness (`vo/datasets.py` readers +
+`examples/run_kitti_vo.py`) runs unchanged on real KITTI/EuRoC
+directories when data is present.
+
+This file is the new-framework analogue of the reference's recorded
+accuracy log (reference: misc_src/pose_tracking_acc.txt:1-57).  Like
+that log's "without / with 3d point position refinement" sections, each
+sequence runs with BA `off`, `structure`-only (the default: poses from
+the photometric IC-GN odometer, BA refines the landmark map against
+measured observations), and `full` joint BA.
+
+- ATE RMSE: absolute trajectory error, world units (unaligned for
+  GT-bootstrapped runs; Umeyama-aligned with scale for self-init —
+  monocular scale is free).  One world unit ~ one meter at the chosen
+  scene scale (corridor half-width 4, depth 40).
+- ATE %path: ATE normalized by trajectory length (the KITTI drift
+  convention).
+- map RMS: RMS distance of live landmarks to the true scene surfaces —
+  the point-refinement quality the reference's log tracks.
+- fps: engine frames/s including all keyframe work (chip-bound path,
+  chunked dispatch), excluding host-side synthetic rendering.
+
+{hdr}{chr(10).join(lines)}
+
+Raw rows: `accuracy_log.json`.
+"""
+    with open(args.out, "w") as f:
+        f.write(doc)
+    print(f"wrote {args.out} + accuracy_log.json")
+
+
+if __name__ == "__main__":
+    main()

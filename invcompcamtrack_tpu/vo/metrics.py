@@ -62,3 +62,16 @@ def rpe_trans(centers_est: jnp.ndarray, centers_gt: jnp.ndarray, delta: int = 1)
     dg = centers_gt[delta:] - centers_gt[:-delta]
     err = jnp.linalg.norm(de - dg, axis=1)
     return jnp.sqrt(jnp.mean(err * err))
+
+
+def rpe_rot(R_est: jnp.ndarray, R_gt: jnp.ndarray, delta: int = 1):
+    """Relative rotation error (RMS geodesic angle, radians) over frame
+    gaps of ``delta``.  R_est/R_gt: (N, 3, 3) world->cam rotations."""
+    dRe = jnp.einsum("nij,nkj->nik", R_est[delta:], R_est[:-delta],
+                     precision=_PREC)
+    dRg = jnp.einsum("nij,nkj->nik", R_gt[delta:], R_gt[:-delta],
+                     precision=_PREC)
+    E = jnp.einsum("nij,nkj->nik", dRe, dRg, precision=_PREC)
+    tr = jnp.trace(E, axis1=-2, axis2=-1)
+    ang = jnp.arccos(jnp.clip((tr - 1.0) / 2.0, -1.0, 1.0))
+    return jnp.sqrt(jnp.mean(ang * ang))

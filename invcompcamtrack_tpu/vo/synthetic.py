@@ -90,3 +90,119 @@ def sample_plane_points(scene: PlaneScene, rng: np.random.Generator, n: int,
     wx = (u - scene.cc[0]) / scene.fc[0] * scene.z0
     wy = (v - scene.cc[1]) / scene.fc[1] * scene.z0
     return np.stack([wx, wy, np.full(n, scene.z0)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-depth corridor scene: ground + two side walls + back wall, each an
+# infinite textured plane clipped by nearest-positive-hit selection.  Gives
+# genuine depth variation and occlusion boundaries (wall/ground junctions)
+# while keeping exact analytic rendering at any pose — the "photorealistic-
+# ish" long-sequence benchmark fixture (the reference validates against
+# random clouds through its protocol, run_odometer_test.m:128-146; this is
+# the dense-image analogue with non-planar structure).
+
+
+class CorridorScene(NamedTuple):
+    # plane k: points X with <n_k, X> = d_k; textured in its own (s, t)
+    # frame spanned by (e1_k, e2_k)
+    normals: np.ndarray     # (P, 3) unit normals
+    offsets: np.ndarray     # (P,)
+    e1: np.ndarray          # (P, 3)
+    e2: np.ndarray          # (P, 3)
+    tex_freqs: np.ndarray   # (P, K, 2)
+    tex_phases: np.ndarray  # (P, K)
+    tex_amps: np.ndarray    # (P, K)
+    fc: tuple
+    cc: tuple
+    wh: tuple
+
+
+def make_corridor(rng: np.random.Generator, wh=(640, 480), fc=(520.0, 525.0),
+                  cc=None, half_width=4.0, floor_y=2.0, z_back=40.0,
+                  num_waves=16, freq_range=(0.4, 5.0)) -> CorridorScene:
+    """Camera at origin looks down +z along a corridor: walls at
+    x = +-half_width, floor at y = floor_y (y points down), back wall at
+    z = z_back."""
+    if cc is None:
+        cc = (wh[0] / 2.0 + 1.5, wh[1] / 2.0 - 2.0)
+    normals = np.array([
+        [1.0, 0.0, 0.0],   # left wall  x = -half_width
+        [1.0, 0.0, 0.0],   # right wall x = +half_width
+        [0.0, 1.0, 0.0],   # floor      y = +floor_y
+        [0.0, 0.0, 1.0],   # back wall  z = z_back
+    ])
+    offsets = np.array([-half_width, half_width, floor_y, z_back])
+    e1 = np.array([[0, 0, 1.0], [0, 0, 1.0], [1.0, 0, 0], [1.0, 0, 0]])
+    e2 = np.array([[0, 1.0, 0], [0, 1.0, 0], [0, 0, 1.0], [0, 1.0, 0]])
+    P = len(offsets)
+    freqs = rng.uniform(*freq_range, size=(P, num_waves, 2)) * rng.choice(
+        [-1.0, 1.0], size=(P, num_waves, 2))
+    return CorridorScene(
+        normals=normals, offsets=offsets, e1=e1, e2=e2,
+        tex_freqs=freqs,
+        tex_phases=rng.uniform(0, 2 * np.pi, size=(P, num_waves)),
+        tex_amps=rng.uniform(0.3, 1.0, size=(P, num_waves))
+        * (128.0 / num_waves * 3),
+        fc=fc, cc=cc, wh=wh,
+    )
+
+
+def _corridor_hits(scene: CorridorScene, origin: np.ndarray,
+                   d_world: np.ndarray):
+    """Nearest positive ray-plane hit.  d_world: (..., 3).  Returns
+    (lam (...,), plane index (...,), hit point (..., 3))."""
+    P = scene.offsets.shape[0]
+    denom = d_world @ scene.normals.T                       # (..., P)
+    num = scene.offsets - origin @ scene.normals.T          # (P,)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lam = num / denom                                   # (..., P)
+    lam = np.where((lam > 1e-6) & np.isfinite(lam), lam, np.inf)
+    k = np.argmin(lam, axis=-1)                             # (...)
+    lam_min = np.take_along_axis(lam, k[..., None], axis=-1)[..., 0]
+    X = origin + lam_min[..., None] * d_world
+    return lam_min, k, X
+
+
+def render_corridor(scene: CorridorScene, G: np.ndarray) -> np.ndarray:
+    """Render through camera [R|t] (world->cam), pinhole; (H, W) f64."""
+    W, H = scene.wh
+    R, t = G[:, :3], G[:, 3]
+    c = -R.T @ t
+    u, v = np.meshgrid(np.arange(W, dtype=float), np.arange(H, dtype=float))
+    d_cam = np.stack([(u - scene.cc[0]) / scene.fc[0],
+                      (v - scene.cc[1]) / scene.fc[1],
+                      np.ones_like(u)], axis=-1)
+    d_world = d_cam @ R
+    _, k, X = _corridor_hits(scene, c, d_world)
+    s = np.einsum("hwi,hwi->hw", X, scene.e1[k])
+    tt = np.einsum("hwi,hwi->hw", X, scene.e2[k])
+    img = np.full((H, W), 128.0)
+    for kk in range(scene.offsets.shape[0]):
+        m = k == kk
+        acc = np.zeros(int(m.sum()))
+        for w in range(scene.tex_freqs.shape[1]):
+            acc += scene.tex_amps[kk, w] * np.sin(
+                scene.tex_freqs[kk, w, 0] * s[m]
+                + scene.tex_freqs[kk, w, 1] * tt[m]
+                + scene.tex_phases[kk, w])
+        img[m] = 128.0 + acc
+    return img
+
+
+def sample_corridor_points(scene: CorridorScene, rng: np.random.Generator,
+                           n: int, G: np.ndarray | None = None,
+                           margin: float = 20.0) -> np.ndarray:
+    """n world points on the visible surfaces: cast rays through random
+    pixels of camera G (identity if None), return the nearest hits."""
+    W, H = scene.wh
+    if G is None:
+        G = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    R, t = G[:, :3], G[:, 3]
+    c = -R.T @ t
+    u = rng.uniform(margin, W - margin, size=n)
+    v = rng.uniform(margin, H - margin, size=n)
+    d_cam = np.stack([(u - scene.cc[0]) / scene.fc[0],
+                      (v - scene.cc[1]) / scene.fc[1],
+                      np.ones(n)], axis=-1)
+    _, _, X = _corridor_hits(scene, c, d_cam @ R)
+    return X

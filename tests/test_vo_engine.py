@@ -21,6 +21,62 @@ def test_umeyama_recovers_similarity(rng):
     assert float(ate_rmse(jnp.asarray(src), jnp.asarray(dst))) < 1e-8
 
 
+def test_rpe_rot_identity_and_known_angle(rng):
+    from invcompcamtrack_tpu.vo.metrics import rpe_rot
+
+    n = 6
+    Rg = np.stack([geo.se3_exp(np.r_[np.zeros(3), rng.normal(size=3) * 0.1])[:, :3]
+                   for _ in range(n)])
+    assert float(rpe_rot(jnp.asarray(Rg), jnp.asarray(Rg))) < 1e-7
+    # perturb every OTHER frame by a fixed 0.05 rad z-rotation: each
+    # frame gap's relative rotation is off by exactly 0.05
+    dR = geo.se3_exp(np.r_[np.zeros(3), 0.0, 0.0, 0.05])[:, :3]
+    Re = Rg.copy()
+    Re[1::2] = np.einsum("ij,njk->nik", dR, Rg[1::2])
+    err = float(rpe_rot(jnp.asarray(Re), jnp.asarray(Rg)))
+    np.testing.assert_allclose(err, 0.05, rtol=1e-5)
+
+
+def test_corridor_scene_photoconsistency(rng):
+    """The multi-depth corridor fixture must render photoconsistently:
+    a surface point's intensity in a second view equals the texture at
+    the point (away from occlusion boundaries), and sampled points have
+    genuine depth variation."""
+    sc = synthetic.make_corridor(rng, wh=(256, 192), fc=(210.0, 212.0))
+    X = synthetic.sample_corridor_points(sc, rng, 200)
+    assert X[:, 2].max() - X[:, 2].min() > 5.0, "no depth variation"
+
+    p1 = np.r_[0.08, -0.04, 0.25, 0.01, -0.015, 0.004]
+    G1 = geo.se3_exp(p1)
+    img1 = synthetic.render_corridor(sc, G1)
+    c1 = -G1[:, :3].T @ G1[:, 3]
+    # keep points that remain the nearest hit from camera 1 (visible)
+    lam1, k1, _ = synthetic._corridor_hits(sc, c1, X - c1)
+    Xc = (G1[:, :3] @ X.T + G1[:, 3:]).T
+    u = Xc[:, 0] / Xc[:, 2] * sc.fc[0] + sc.cc[0]
+    v = Xc[:, 1] / Xc[:, 2] * sc.fc[1] + sc.cc[1]
+    vis = (np.abs(lam1 - 1.0) < 1e-6) & (u > 2) & (u < 253) & (v > 2) & (v < 189)
+    assert vis.sum() > 100
+
+    # bilinear sample of the rendered view
+    u0, v0 = np.floor(u[vis]).astype(int), np.floor(v[vis]).astype(int)
+    au, av = u[vis] - u0, v[vis] - v0
+    samp = ((1 - au) * (1 - av) * img1[v0, u0] + au * (1 - av) * img1[v0, u0 + 1]
+            + (1 - au) * av * img1[v0 + 1, u0] + au * av * img1[v0 + 1, u0 + 1])
+    # direct texture evaluation on each point's plane
+    _, k, _ = synthetic._corridor_hits(sc, np.zeros(3), X)
+    s = np.einsum("ni,ni->n", X, sc.e1[k])
+    t = np.einsum("ni,ni->n", X, sc.e2[k])
+    tex = 128.0 + sum(
+        sc.tex_amps[k, w] * np.sin(sc.tex_freqs[k, w, 0] * s
+                                   + sc.tex_freqs[k, w, 1] * t
+                                   + sc.tex_phases[k, w])
+        for w in range(sc.tex_freqs.shape[1]))
+    err = np.abs(samp - tex[vis])
+    # bilinear resampling error dominates; occluded points were excluded
+    assert np.median(err) < 2.0, np.median(err)
+
+
 def _camera_path(rng, n_frames, step=0.015):
     """Gentle forward+lateral motion with small rotations."""
     poses = [np.zeros(6)]
