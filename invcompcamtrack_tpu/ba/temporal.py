@@ -155,14 +155,19 @@ def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
 
     def cost(poses_l, lms):
         proj = _project(poses_l, lms, fx, fy, cx, cy)
-        res = (obs - proj) * mask[..., None]
+        # where(), not *: masked non-finite projections (empty slots,
+        # behind-camera points) must contribute exactly 0, not NaN;
+        # observed non-finite projections read as very costly
+        raw = jnp.where(mask[..., None], obs - proj, 0.0)
+        res = jnp.where(jnp.isfinite(raw), raw,
+                        jnp.where(mask[..., None], 1e6, 0.0))
         if huber_delta is None:
             c_loc = jnp.sum(res * res)
         else:
             rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-24)
             rho = jnp.where(rn <= huber_delta, rn * rn,
                             huber_delta * (2.0 * rn - huber_delta))
-            c_loc = jnp.sum(rho * mask)
+            c_loc = jnp.sum(jnp.where(mask, rho, 0.0))
         w_row = _chain_weight_mask(odom_w, free_f, axis)
         e = _chain_residual(poses_l, odom, axis)
         c_loc = c_loc + jnp.sum(w_row[:, None] * e * e)
@@ -178,13 +183,16 @@ def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
                               Xc[1] / Xc[2] * fy + cy])
 
         proj = _project(poses_l, lms, fx, fy, cx, cy)
-        res = (obs - proj) * mask[..., None]
+        raw = jnp.where(mask[..., None], obs - proj, 0.0)
+        res = jnp.where(jnp.isfinite(raw), raw,
+                        jnp.where(mask[..., None], 1e6, 0.0))
         Jp, Jx = jax.vmap(
             lambda p: jax.vmap(
                 lambda X: jax.jacfwd(f, argnums=(0, 1))(p, X))(lms)
         )(poses_l)
         m = mask[..., None, None]
-        Jp, Jx = Jp * m, Jx * m
+        Jp = jnp.where(m & jnp.isfinite(Jp), Jp, 0.0)
+        Jx = jnp.where(m & jnp.isfinite(Jx), Jx, 0.0)
         if huber_delta is not None:
             sw = jnp.sqrt(huber_weights(res, mask, huber_delta))
             res = res * sw[..., None]

@@ -68,20 +68,41 @@ def ba_residuals(prob: BAProblem, huber_delta: float | None = None):
             lambda X: _project_one(p, X, prob.fx, prob.fy, prob.cx, prob.cy)
         )(prob.landmarks)
     )(prob.poses)
-    res = (prob.obs - proj) * prob.mask[..., None]
+    # masked entries must be EXACTLY zero even when proj is inf/NaN
+    # (landmarks behind the camera, empty slots at the origin) — a
+    # multiplicative mask would turn inf*0 into NaN and poison every
+    # downstream reduction, so use where().  An OBSERVED entry whose
+    # projection is non-finite gets a large sentinel residual instead:
+    # a candidate state that throws a tracked landmark behind the
+    # camera must read as very costly, not as free.
+    raw = jnp.where(prob.mask[..., None], prob.obs - proj, 0.0)
+    res = jnp.where(jnp.isfinite(raw), raw,
+                    jnp.where(prob.mask[..., None], 1e6, 0.0))
     cnt = jnp.maximum(jnp.sum(prob.mask), 1)
     if huber_delta is None:
         return res, jnp.sum(res * res) / (2.0 * cnt)
     rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-24)
     rho = jnp.where(rn <= huber_delta, rn * rn,
                     huber_delta * (2.0 * rn - huber_delta))
-    return res, jnp.sum(rho * prob.mask) / (2.0 * cnt)
+    return res, jnp.sum(jnp.where(prob.mask, rho, 0.0)) / (2.0 * cnt)
 
 
 def huber_weights(res: jnp.ndarray, mask: jnp.ndarray, delta: float):
     """(K, L) IRLS weights w = min(1, delta/|r|) of the Huber loss."""
     rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-24)
     return jnp.where(rn <= delta, 1.0, delta / rn) * mask
+
+
+def _per_landmark_cost(res, mask, huber_delta):
+    """(L,) robust cost of each landmark's observations."""
+    rn2 = jnp.sum(res * res, axis=-1)
+    if huber_delta is None:
+        rho = rn2
+    else:
+        rn = jnp.sqrt(rn2 + 1e-24)
+        rho = jnp.where(rn <= huber_delta, rn2,
+                        huber_delta * (2.0 * rn - huber_delta))
+    return jnp.sum(jnp.where(mask, rho, 0.0), axis=0)
 
 
 def _jacobians(prob: BAProblem):
@@ -95,8 +116,12 @@ def _jacobians(prob: BAProblem):
             prob.landmarks
         )
     )(prob.poses)
+    # where(), not *: masked entries with non-finite Jacobians (empty
+    # slots / behind-camera points divide by z~0) must become exactly 0
     m = prob.mask[..., None, None]
-    return jp * m, jx * m
+    jp = jnp.where(m & jnp.isfinite(jp), jp, 0.0)
+    jx = jnp.where(m & jnp.isfinite(jx), jx, 0.0)
+    return jp, jx
 
 
 def schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters: int = 32,
@@ -162,7 +187,8 @@ def schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters: int = 32,
 
 
 def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
-                reduced_solver: str = "dense", cg_iters: int = 32):
+                reduced_solver: str = "dense", cg_iters: int = 32,
+                lm_eig_floor: float | None = None):
     """One damped GN step via Schur elimination of the landmarks.
 
     With ``huber_delta``, IRLS reweighting (sqrt-weights folded into the
@@ -170,6 +196,17 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
     ``reduced_solver``: "dense" materializes + solves the (6K, 6K)
     reduced system (exact; fine for small windows), "cg" runs
     matrix-free preconditioned CG (the K >~ 50 long-window path).
+
+    ``lm_eig_floor``: spectral observability cutoff on the landmark
+    blocks — eigen-directions of H_ll with eigenvalue below
+    ``lm_eig_floor * lambda_max`` are treated as UNOBSERVED and get a
+    zero update (truncated pseudo-inverse).  For a landmark seen under
+    near-parallel rays (forward motion) the along-ray eigenvalue is
+    ~ (baseline/depth)^2 of the cross-ray ones; without the cutoff,
+    fixed-but-slightly-inconsistent poses place the least-squares
+    optimum arbitrarily far along the ray and LM walks there.  With it,
+    depth stays at its triangulated value until ~sqrt(floor) of
+    baseline-to-depth ratio has accumulated.
     Returns (dpose (K,6), dlm (L,3)).
     """
     K, L = prob.mask.shape
@@ -184,7 +221,7 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
 
     # zero Jacobians of fixed poses => their update is exactly 0 and the
     # damped diagonal keeps S invertible
-    Jp = Jp * (~prob.fixed_pose_mask)[:, None, None, None]
+    Jp = jnp.where(prob.fixed_pose_mask[:, None, None, None], 0.0, Jp)
 
     # blocks
     Hpp = jnp.einsum("klri,klrj->kij", Jp, Jp, precision=_PREC)        # (K,6,6)
@@ -203,7 +240,15 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
         jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-8
     )[..., None, :] * eyeL
 
-    Hxx_inv = sym3x3_inverse(Hxx)  # (L,3,3)
+    if lm_eig_floor is None:
+        Hxx_inv = sym3x3_inverse(Hxx)  # (L,3,3)
+    else:
+        lam, V = jnp.linalg.eigh(Hxx)  # ascending eigenvalues
+        lam_max = lam[..., -1:]
+        inv_l = jnp.where(lam > lm_eig_floor * lam_max,
+                          1.0 / jnp.maximum(lam, 1e-20), 0.0)
+        Hxx_inv = jnp.einsum("lij,lj,lkj->lik", V, inv_l, V,
+                             precision=_PREC)
 
     # Schur complement: S = Hpp - sum_l Hpx Hxx^-1 Hxp
     W = jnp.einsum("klij,ljm->klim", Hpx, Hxx_inv, precision=_PREC)    # (K,L,6,3)
@@ -235,7 +280,11 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
 def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
              damp_up: float = 10.0, damp_down: float = 10.0,
              huber_delta: float | None = None,
-             reduced_solver: str = "dense", cg_iters: int = 32):
+             reduced_solver: str = "dense", cg_iters: int = 32,
+             lm_step_clip: float | None = None,
+             per_landmark_accept: bool = False,
+             damp_min: float = 0.0,
+             lm_eig_floor: float | None = None):
     """Levenberg-Marquardt loop with accept/reject on the total error.
 
     ``huber_delta`` (pixels) turns on Huber-robust IRLS weighting —
@@ -243,6 +292,22 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
     correspondence cannot drag the window.  ``reduced_solver="cg"``
     switches the reduced camera system to matrix-free PCG for long
     windows (see ``schur_cg_solve``).
+
+    Low-parallax guards (needed whenever rays to a landmark are nearly
+    parallel — e.g. forward motion — where H_ll is near-singular along the
+    ray, and relative Levenberg damping vanishes with the diagonal):
+
+    - ``lm_step_clip``: per-iteration trust region — each landmark's
+      step is scaled so ``|dX| <= lm_step_clip * dist(X, nearest
+      observing camera)``.  Scale-free, so one setting covers any scene
+      scale; it bounds ray-sliding to a geometric rate without touching
+      well-conditioned updates.
+    - ``per_landmark_accept``: accept/reject each landmark's step on its
+      OWN robust cost (the structure problem is separable when poses are
+      fixed, so this is exact block-coordinate LM; with floating poses
+      landmark costs are evaluated at the candidate poses).
+    - ``damp_min``: floor for the Levenberg parameter.
+
     Returns (poses, landmarks, info) with info = (final msq, initial msq).
     """
 
@@ -251,14 +316,40 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
         p0 = prob._replace(poses=poses, landmarks=lms)
         dpose, dlm = _schur_step(p0, damp, huber_delta,
                                  reduced_solver=reduced_solver,
-                                 cg_iters=cg_iters)
+                                 cg_iters=cg_iters,
+                                 lm_eig_floor=lm_eig_floor)
+        if lm_step_clip is not None:
+            centers = jax.vmap(lambda p: lie.camera_center(lie.se3_exp(p)))(
+                poses)                                              # (K,3)
+            d = jnp.linalg.norm(lms[None, :, :] - centers[:, None, :],
+                                axis=-1)                            # (K,L)
+            d_near = jnp.min(jnp.where(prob.mask, d, jnp.inf), axis=0)
+            d_near = jnp.where(jnp.isfinite(d_near), d_near, 1.0)
+            dn = jnp.linalg.norm(dlm, axis=1)
+            scale = jnp.minimum(1.0, lm_step_clip * d_near
+                                / jnp.maximum(dn, 1e-12))
+            dlm = dlm * scale[:, None]
         cand = prob._replace(poses=poses + dpose, landmarks=lms + dlm)
-        _, err_new = ba_residuals(cand, huber_delta)
-        ok = err_new < err
-        poses = jnp.where(ok, cand.poses, poses)
-        lms = jnp.where(ok, cand.landmarks, lms)
-        damp = jnp.where(ok, damp / damp_down, damp * damp_up)
-        err = jnp.where(ok, err_new, err)
+        res_new, err_new = ba_residuals(cand, huber_delta)
+        if per_landmark_accept:
+            res_old, _ = ba_residuals(
+                prob._replace(poses=cand.poses, landmarks=lms), huber_delta)
+            cl_old = _per_landmark_cost(res_old, prob.mask, huber_delta)
+            cl_new = _per_landmark_cost(res_new, prob.mask, huber_delta)
+            ok_l = (cl_new <= cl_old) & \
+                jnp.all(jnp.isfinite(cand.landmarks), axis=1)
+            ok = err_new < err
+            poses = jnp.where(ok, cand.poses, poses)
+            lms = jnp.where(ok_l[:, None], cand.landmarks, lms)
+            _, err = ba_residuals(
+                prob._replace(poses=poses, landmarks=lms), huber_delta)
+        else:
+            ok = err_new < err
+            poses = jnp.where(ok, cand.poses, poses)
+            lms = jnp.where(ok, cand.landmarks, lms)
+            err = jnp.where(ok, err_new, err)
+        damp = jnp.maximum(jnp.where(ok, damp / damp_down, damp * damp_up),
+                           damp_min)
         return (poses, lms, damp, err), err
 
     _, err0 = ba_residuals(prob, huber_delta)

@@ -54,7 +54,9 @@ def to_strided(patches: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(patch_norm, qwin_ref, sd_ref, ref_ref, rowc_ref, wts_ref,
             valid_ref, out_ref):
-    q = qwin_ref[...]                    # (T, 256)
+    # planes may arrive bfloat16 (cfg.bf16_gather halves HBM traffic);
+    # all in-kernel arithmetic is f32
+    q = qwin_ref[...].astype(jnp.float32)  # (T, 256)
     row_w = rowc_ref[:, 0:1]             # (T, 1) f32 in [0, 7]
     col_w = rowc_ref[:, 1:2]
 
@@ -89,12 +91,13 @@ def _kernel(patch_norm, qwin_ref, sd_ref, ref_ref, rowc_ref, wts_ref,
         mean = jnp.sum(patch, axis=1, keepdims=True) * (1.0 / (PSZ * PSZ))
         patch = (patch - mean) * lmask
 
-    pdiff = (ref_ref[...] - patch) * valid_ref[:, 0:1] * lmask
+    pdiff = (ref_ref[...].astype(jnp.float32) - patch) \
+        * valid_ref[:, 0:1] * lmask
 
     # rhs_k = sum_lanes sd_k (.) pdiff   (garbage lanes are zero in sd)
     cols = []
     for k in range(6):
-        sdk = sd_ref[:, k * 128:(k + 1) * 128]
+        sdk = sd_ref[:, k * 128:(k + 1) * 128].astype(jnp.float32)
         cols.append(jnp.sum(sdk * pdiff, axis=1, keepdims=True))
     out_ref[...] = jnp.concatenate(cols, axis=1)
 

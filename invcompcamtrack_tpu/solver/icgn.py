@@ -153,11 +153,15 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
 
     if use_fused:
         sd_s = fused_iter.to_strided(sd)                 # lead+(N,6,128)
+        # Hessian from the FULL-precision planes (computed once per
+        # scale); the per-iteration planes may then be stored bf16
         H = jnp.einsum("...nkp,...nlp->...kl", sd_s, sd_s, precision=_PREC)
+        store_dt = jnp.bfloat16 if cfg.bf16_gather else sd.dtype
         ref_s = fused_iter.to_strided(
             p_img * valid_ref[..., None, None].astype(p_img.dtype)
-        ).reshape(-1, fused_iter.PSZ * fused_iter.WIN)
-        sd_sf = sd_s.reshape(-1, 6 * fused_iter.PSZ * fused_iter.WIN)
+        ).astype(store_dt).reshape(-1, fused_iter.PSZ * fused_iter.WIN)
+        sd_sf = sd_s.astype(store_dt).reshape(
+            -1, 6 * fused_iter.PSZ * fused_iter.WIN)
         sd_flat = None
         ref_flat = None
     else:
@@ -181,7 +185,9 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
                                 cam_level_padding(cfg))
         qwin = gather_windows_any(level_new.img, origins, cfg.window_size)
         if use_fused:
-            qwin_flat = qwin.reshape(-1, cfg.window_size * cfg.window_size)
+            qwin_flat = qwin.reshape(
+                -1, cfg.window_size * cfg.window_size
+            ).astype(jnp.bfloat16 if cfg.bf16_gather else qwin.dtype)
 
     def cond(state):
         it, _p, _G, _normdp, _normdp_init, active = state

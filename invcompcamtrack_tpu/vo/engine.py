@@ -77,6 +77,12 @@ class VOConfig:
     min_lm_for_ba: int = 12
     ba_mode: str = "structure"   # "structure": poses fixed, refine points;
     #                              "full": joint pose+point window BA
+    ba_lm_step_clip: float = 0.1  # per-BA-iteration landmark trust region,
+    #                               fraction of distance to nearest camera
+    ba_lm_eig_floor: float = 5e-3  # spectral observability cutoff on H_ll:
+    #   eigen-directions below this fraction of lambda_max (an along-ray
+    #   direction has lambda ~ (baseline/depth)^2 of the cross-ray ones)
+    #   get NO update — depth refines only once baseline/depth >~ 7%
 
 
 class VOState(NamedTuple):
@@ -317,14 +323,28 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
         (jnp.sum(lm_valid) >= cfg.min_lm_for_ba)
 
     def run_ba(_):
-        poses, lms, _ = ba_solve(prob, num_iters=cfg.ba_iters,
-                                 huber_delta=cfg.huber_px)
+        # low-parallax guards (forward motion makes H_ll near-singular
+        # along the rays): per-iteration trust region on the landmark
+        # step, damping floor, and — in the separable structure-only
+        # mode — exact per-landmark accept/reject.
+        poses, lms, _ = ba_solve(
+            prob, num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
+            lm_step_clip=cfg.ba_lm_step_clip,
+            per_landmark_accept=(cfg.ba_mode == "structure"),
+            damp_min=1e-5,
+            lm_eig_floor=cfg.ba_lm_eig_floor,
+        )
         return poses, lms
 
     kf_poses, landmarks = jax.lax.cond(
         do_ba, run_ba, lambda _: (kf_poses, landmarks), None
     )
     cur_pose = _row_get(kf_poses, new_slot)
+    # post-BA sanity: a landmark pushed behind the newest camera is
+    # geometrically dead — retire it (chirality NaN-out analogue,
+    # reference: func_util_geom.py:575-577)
+    z_cur = pose_ops.transform_points(lie.se3_exp(cur_pose), landmarks)[..., 2]
+    lm_valid = lm_valid & (z_cur > 0.01)
 
     return state._replace(
         landmarks=landmarks, lm_valid=lm_valid, lm_fail=lm_fail,

@@ -121,6 +121,72 @@ def test_ba_huber_matches_l2_inliers_only(rng):
     np.testing.assert_allclose(float(e1), float(e2), rtol=1e-5, atol=1e-18)
 
 
+def test_ba_structure_low_parallax_guarded(rng):
+    """Forward motion + fixed (slightly inconsistent) poses: rays to an
+    on-axis landmark are near-parallel, so H_ll is near-singular along
+    the ray and unguarded LM slides landmarks enormous distances while
+    the global cost still drops (the corridor-fwd divergence).  The
+    trust-region clip + per-landmark accept must keep the map bounded
+    near the scene."""
+    fx, fy, cx, cy = 520.0, 525.0, 320.0, 240.0
+    K, L = 6, 16
+    X_gt = np.c_[rng.uniform(-1.5, 1.5, L), rng.uniform(-1.0, 1.0, L),
+                 rng.uniform(18.0, 24.0, L)]
+    poses_true, poses_fix = [], []
+    for k in range(K):
+        c = np.array([0.0, 0.0, 0.12 * k])          # forward drive
+        p_true = np.concatenate([-c, np.zeros(3)])  # R=I, t=-c
+        poses_true.append(p_true)
+        # the "drifted odometer" poses BA is forced to hold fixed
+        dp = np.concatenate([rng.normal(size=3) * 0.02,
+                             rng.normal(size=3) * 2e-3])
+        poses_fix.append(p_true + dp)
+    poses_true, poses_fix = np.stack(poses_true), np.stack(poses_fix)
+
+    obs = np.zeros((K, L, 2))
+    for k in range(K):
+        uv, _ = geo.project(geo.se3_exp(poses_true[k]), X_gt, fx, fy, cx, cy)
+        obs[k] = uv + rng.normal(size=uv.shape) * 0.3
+    prob = BAProblem(
+        poses=jnp.asarray(poses_fix),
+        landmarks=jnp.asarray(X_gt + rng.normal(size=X_gt.shape) * 0.05),
+        obs=jnp.asarray(obs), mask=jnp.ones((K, L), bool),
+        fx=jnp.asarray(fx), fy=jnp.asarray(fy),
+        cx=jnp.asarray(cx), cy=jnp.asarray(cy),
+        fixed_pose_mask=jnp.ones((K,), bool),
+    )
+    _, lms_raw, _ = ba_solve(prob, num_iters=8, huber_delta=1.5)
+    _, lms_g, _ = ba_solve(prob, num_iters=8, huber_delta=1.5,
+                           lm_step_clip=0.1, per_landmark_accept=True,
+                           damp_min=1e-5, lm_eig_floor=5e-3)
+    err_raw = np.linalg.norm(np.asarray(lms_raw) - X_gt, axis=1)
+    err_g = np.linalg.norm(np.asarray(lms_g) - X_gt, axis=1)
+    # guarded refinement stays in the scene's vicinity...
+    assert err_g.max() < 5.0, err_g.max()
+    # ...and is no worse than the unguarded solve anywhere it matters
+    assert err_g.max() <= err_raw.max() + 1e-6, (err_g.max(), err_raw.max())
+
+
+def test_ba_guards_mild_on_well_conditioned(rng):
+    """On a well-conditioned (lateral-baseline) problem the guards may
+    leave a little landmark polish on the table (truncated directions
+    keep their initialization error) but must stay at the same accuracy
+    scale — and pose accuracy must not degrade."""
+    prob, poses_gt, X_gt = _make_problem(rng, noise=0.1, perturb_pose=0.01,
+                                         perturb_lm=0.05)
+    p1, l1, (e1, _) = ba_solve(prob, num_iters=12)
+    p2, l2, (e2, _) = ba_solve(prob, num_iters=12, lm_step_clip=0.1,
+                               per_landmark_accept=True, damp_min=1e-5,
+                               lm_eig_floor=5e-3)
+    assert float(e2) < 2.5 * float(e1), (float(e1), float(e2))
+    lmerr1 = np.abs(np.asarray(l1) - X_gt).max()
+    lmerr2 = np.abs(np.asarray(l2) - X_gt).max()
+    assert lmerr2 < 2.0 * lmerr1 + 1e-3, (lmerr1, lmerr2)
+    poseerr1 = np.abs(np.asarray(p1) - poses_gt).max()
+    poseerr2 = np.abs(np.asarray(p2) - poses_gt).max()
+    assert poseerr2 < 1.5 * poseerr1 + 1e-4, (poseerr1, poseerr2)
+
+
 def test_ba_cg_matches_dense(rng):
     """Matrix-free PCG reduced-camera solve must reproduce the dense
     Schur solve to solver precision."""
