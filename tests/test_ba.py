@@ -187,6 +187,32 @@ def test_ba_guards_mild_on_well_conditioned(rng):
     assert poseerr2 < 1.5 * poseerr1 + 1e-4, (poseerr1, poseerr2)
 
 
+def test_ba_active_with_degenerate_masked_slots(rng):
+    """Masked-out slots at the origin project to inf when a camera sits
+    at z=0 (the engine's empty landmark slots).  With multiplicative
+    masking inf*0=NaN poisoned the global cost and silently turned BA
+    into a no-op; where()-masking must keep BA fully active."""
+    prob, poses_gt, X_gt = _make_problem(rng, L=48, noise=0.0,
+                                         perturb_pose=0.02, perturb_lm=0.1)
+    # append 16 dead slots at the origin, masked everywhere
+    K = prob.mask.shape[0]
+    lms = jnp.concatenate([prob.landmarks, jnp.zeros((16, 3))], axis=0)
+    obs = jnp.concatenate([prob.obs, jnp.zeros((K, 16, 2))], axis=1)
+    mask = jnp.concatenate([prob.mask, jnp.zeros((K, 16), bool)], axis=1)
+    # camera 0 sits at the origin -> dead slots are exactly at its
+    # center, projecting to inf/NaN
+    prob = prob._replace(landmarks=lms, obs=obs, mask=mask)
+
+    _, err0 = ba_residuals(prob)
+    assert np.isfinite(float(err0)), "masked degenerate slots leaked NaN"
+    poses, lms_out, (err, _) = ba_solve(prob, num_iters=15)
+    assert np.isfinite(float(err))
+    assert float(err) < 1e-10, f"BA was a no-op: err {float(err)}"
+    np.testing.assert_allclose(np.asarray(poses), poses_gt, atol=1e-5)
+    # the dead slots must not move and must stay finite
+    np.testing.assert_allclose(np.asarray(lms_out[48:]), 0.0, atol=0)
+
+
 def test_ba_cg_matches_dense(rng):
     """Matrix-free PCG reduced-camera solve must reproduce the dense
     Schur solve to solver precision."""
