@@ -240,12 +240,19 @@ def main():
            "landmarks | fps |\n|---|---|---|---|---|---|---|---|---|---|---|\n")
     lines = []
     for r in rows:
+        # monocular self-init has free global scale: the aligned ATE is
+        # the meaningful number; unaligned drift / raw-unit RPE / map RMS
+        # are not (the Umeyama alignment absorbs the scale factor)
+        na = r["self_init"]
+        drift = "n/a (scale)" if na else f"{r['final_drift']:.4f}"
+        rpet = "n/a (scale)" if na else f"{r['rpe_trans']:.5f}"
+        mrms = "n/a (scale)" if na else f"{r['map_surface_rms']:.4f}"
         lines.append(
             f"| {r['sequence']}{' (self-init)' if r['self_init'] else ''} "
             f"| {r['frames']} | {r['ba_mode']} | {r['ate_rmse']:.4f} "
-            f"| {r['ate_pct_path']:.3f}% | {r['final_drift']:.4f} "
-            f"| {r['rpe_trans']:.5f} | {r['rpe_rot_deg']:.4f} "
-            f"| {r['map_surface_rms']:.4f} | {r['landmarks_alive']} "
+            f"| {r['ate_pct_path']:.3f}% | {drift} "
+            f"| {rpet} | {r['rpe_rot_deg']:.4f} "
+            f"| {mrms} | {r['landmarks_alive']} "
             f"| {r['fps_engine']:.1f} |")
     doc = f"""# Recorded VO accuracy log
 

@@ -25,6 +25,17 @@ def cholesky_solve_sym(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     n = H.shape[-1]
     eps = jnp.asarray(1e-30, H.dtype)
 
+    # Jacobi preconditioning: the GN normal matrix mixes translation and
+    # rotation units (and the reference's normalize-by-varval scaling can
+    # skew them by orders of magnitude when the cloud statistics include
+    # far-outside points), so equilibrate columns by 1/sqrt(diag) first.
+    # Exact arithmetic is unchanged; in f32 it recovers the ~4 digits the
+    # raw factorization loses at diagonal imbalance ~1e8.
+    d = jnp.sqrt(jnp.maximum(
+        jnp.abs(jnp.diagonal(H, axis1=-2, axis2=-1)), eps))
+    H = H / (d[..., :, None] * d[..., None, :])
+    b = b / d
+
     # Cholesky: H = L L^T, unrolled
     L = [[None] * n for _ in range(n)]
     for i in range(n):
@@ -54,4 +65,4 @@ def cholesky_solve_sym(H: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
 
-    return jnp.stack(x, axis=-1)
+    return jnp.stack(x, axis=-1) / d

@@ -125,8 +125,13 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
     npix = cfg.novals
 
     # [4] reference patches + gradients, frustum mask (+ optional
-    # per-point selection mask, the RANSAC-inlier-subset equivalent)
-    valid_ref = pose_ops.in_frustum(uv_ref, swo, sho)
+    # per-point selection mask, the RANSAC-inlier-subset equivalent).
+    # Chirality: a point BEHIND the camera projects through the pinhole
+    # to a mirrored uv that can land inside the image bounds, so the
+    # bounds check alone would admit its garbage residuals (the
+    # reference never sees such points — its callers pre-filter; the VO
+    # engine here cannot, landmarks drift behind the camera routinely).
+    valid_ref = pose_ops.in_frustum(uv_ref, swo, sho) & (Xc_ref[..., 2] > 0)
     if point_mask is not None:
         valid_ref = valid_ref & point_mask
     # NaN/inf projections (degenerate points at z ~ 0) poison the
@@ -195,9 +200,12 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
 
     def body(state):
         it, p_cur, G_cur, normdp, normdp_init, active = state
-        # [7] project with current pose
-        uv_new = pose_ops.project_points(G_cur, Xn, fx, fy, cx, cy)
-        valid_new = pose_ops.in_frustum(uv_new, swo, sho) & valid_ref
+        # [7] project with current pose (chirality-gated, as for the
+        # reference view above)
+        uv_new, Xc_new = pose_ops.project_points(G_cur, Xn, fx, fy, cx, cy,
+                                                 return_cam=True)
+        valid_new = (pose_ops.in_frustum(uv_new, swo, sho) & valid_ref
+                     & (Xc_new[..., 2] > 0))
         uv_new = jnp.where(valid_new[..., None], uv_new, jnp.zeros_like(uv_new))
         # [8]+[9a] query patches + error image + sd projection
         if use_fused:

@@ -69,9 +69,11 @@ def track_pose(pyr_ref, pyr_new, X, p_init, fc, cc, wh, cfg):
         img_n, _, _ = pyr_new[s]
 
         uv_ref, _ = geo.project(G0, Xn, fx, fy, cx, cy)
+        # bounds + chirality (behind-camera points mirror into bounds)
         valid_ref = (
             (uv_ref[:, 0] >= 0) & (uv_ref[:, 1] >= 0)
             & (uv_ref[:, 0] <= swo) & (uv_ref[:, 1] <= sho)
+            & (Xc_ref[:, 2] > 0)
         )
 
         sd = np.zeros((N, 6, psz, psz))
@@ -101,13 +103,13 @@ def track_pose(pyr_ref, pyr_new, X, p_init, fc, cc, wh, cfg):
         it = 0
         G = geo.se3_exp(p)
         while it < cfg.maxiter and (normdp / normdp_init) > cfg.normdp_ratio:
-            uv_new, _ = geo.project(G, Xn, fx, fy, cx, cy)
+            uv_new, Xc_new = geo.project(G, Xn, fx, fy, cx, cy)
             rhs = np.zeros(6)
             for i in range(N):
                 if not valid_ref[i]:
                     continue
                 u, v = uv_new[i]
-                if u < 0 or v < 0 or u > swo or v > sho:
+                if u < 0 or v < 0 or u > swo or v > sho or Xc_new[i, 2] <= 0:
                     continue
                 q = extract_patch_padded(img_n, u, v, psz, pad, cfg.dopatchnorm)
                 pdiff = ref_pat[i] - q
