@@ -66,8 +66,36 @@ def shi_tomasi_corners(img: jnp.ndarray, max_corners: int = 1000,
     thresh = quality_level * jnp.max(resp)
     score = jnp.where(is_peak & (resp >= thresh), resp, -jnp.inf)
 
-    flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_corners)
+    # Selection.  A flat top-k over H*W pixels is sort-shaped and slow on
+    # TPU (tens of ms at 720p), so for large images we bucket the score
+    # map into a grid of tiles and take each tile's argmax, then top-k
+    # over the (few thousand) tile winners.  This caps corners at one
+    # per tile — which for tracking seeds is a feature, not a loss: it
+    # enforces the spatial spread that goodFeaturesToTrack's min_distance
+    # only approximates.  Small images keep the exact flat top-k.
+    if H * W > 64 * max_corners:
+        tile = max(8, int(round((H * W / (4.0 * max_corners)) ** 0.5)))
+        Hp = -(-H // tile) * tile
+        Wp = -(-W // tile) * tile
+        padded = jnp.full((Hp, Wp), -jnp.inf, score.dtype).at[:H, :W].set(score)
+        tiles = padded.reshape(Hp // tile, tile, Wp // tile, tile)
+        tiles = tiles.transpose(0, 2, 1, 3).reshape(-1, tile * tile)
+        t_val = jnp.max(tiles, axis=1)
+        t_arg = jnp.argmax(tiles, axis=1)
+        n_tiles = t_val.shape[0]
+        ty, tx = jnp.divmod(jnp.arange(n_tiles), Wp // tile)
+        py, px = jnp.divmod(t_arg, tile)
+        flat_idx = (ty * tile + py) * W + (tx * tile + px)
+        k = min(max_corners, n_tiles)
+        vals, sel = jax.lax.top_k(t_val, k)
+        idx = jnp.take(flat_idx, sel)
+        if k < max_corners:
+            pad = max_corners - k
+            vals = jnp.concatenate([vals, jnp.full((pad,), -jnp.inf, vals.dtype)])
+            idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    else:
+        flat = score.reshape(-1)
+        vals, idx = jax.lax.top_k(flat, max_corners)
     xy = jnp.stack([(idx % W).astype(img.dtype), (idx // W).astype(img.dtype)], axis=1)
     valid = jnp.isfinite(vals)
     return xy, valid

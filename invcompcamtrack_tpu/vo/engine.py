@@ -516,6 +516,14 @@ class VisualOdometry:
         c = np.asarray(lie.camera_center(lie.se3_exp(pose)))
         self.trajectory.append(c)
 
+    def _append_centers_batch(self, poses):
+        """One device dispatch + one d2h pull for a whole (T, 6) pose
+        chunk.  Per-pose pulls cost a full host round-trip each (tens of
+        ms through a remote-device tunnel), which dominated chunked
+        throughput before batching."""
+        cs = np.asarray(lie.camera_center(lie.se3_exp(poses)))
+        self.trajectory.extend(list(cs))
+
     # ---------- public API ----------
 
     def bootstrap_from_images(self, img0, img1, key=None, scale: float = 1.0,
@@ -644,7 +652,5 @@ class VisualOdometry:
         )
         self.state, poses = self._jit_run(self.state, frames)
         self._frame_idx += T
-        poses = np.asarray(poses)
-        for p in poses:
-            self._append_center(jnp.asarray(p))
-        return poses
+        self._append_centers_batch(poses)
+        return np.asarray(poses)
