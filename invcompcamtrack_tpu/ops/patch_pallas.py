@@ -5,12 +5,16 @@ patch, 6.5x slower than this kernel).
 
 Design (see docs/kernels.md):
 
-- the (padded) pyramid level lives whole in VMEM (a 1280x720 level 0 is
-  ~4.5 MB — comfortably inside the ~16 MB VMEM),
-- the grid walks point tiles of T=256; per point the kernel loads an
-  aligned ``(16, 256)`` window (sublane start rounded to 8, lane start
-  to 128 — Mosaic requires provably aligned starts), rotates it so the
-  window origin lands at (0, 0) via two ``pltpu.roll`` ops, applies the
+- the (padded) pyramid level lives in VMEM TWICE: the plane is stacked
+  with a 64-lane-shifted copy of itself ("two-phase alignment").  Mosaic
+  requires 128-lane-aligned load starts; without the copy every window
+  load must span (rows, 256) to cover an arbitrary lane phase.  With it,
+  a point whose lane phase is >= 64 loads from the shifted copy at phase
+  (o - 64) < 64 instead — so every window is (rows, 128): half the load
+  bytes and half the lane-roll work per point,
+- the grid walks point tiles of T=256; per point the kernel loads the
+  aligned ``(rows, 128)`` window (start fully precomputed host-side),
+  rotates the origin to (0, 0) via two ``pltpu.roll`` ops, applies the
   4-tap constant bilinear weights, and stores the (psz, psz) patch,
 - indices + weights are precomputed host-side (XLA) and streamed through
   SMEM block specs; 4 points per loop iteration amortize loop overhead
@@ -19,7 +23,8 @@ Design (see docs/kernels.md):
 
 The public wrappers accept arbitrary leading batch dims over the shared
 image, pad geometry/point counts to kernel requirements, and are exact
-drop-ins for image/patch.py's XLA path (bit-identical taps).
+drop-ins for image/patch.py's XLA path (bit-identical taps: the stacked
+copy holds identical values, only the alignment path differs).
 """
 
 from __future__ import annotations
@@ -31,18 +36,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_T = 256        # points per grid step
-_UNROLL = 4     # points per loop iteration
+_T = 256        # points per grid step (512 overflows VMEM at 720p)
+_UNROLL = 4     # points per loop iteration.  Standalone microbenches
+#                 prefer 16 (4.3ms vs 7.5ms for the 3-plane gather), but
+#                 EMBEDDED in the solver program 4 wins (53ms vs 65ms
+#                 per call): shorter per-grid-step latency pipelines
+#                 better against the surrounding XLA ops.
+_PHASE = 64     # lane-phase split of the two-phase alignment scheme
+_LANES = 128
 
 
-def _win_rows(psz: int) -> int:
-    # covers psz+1 rows at any sublane phase (start rounded down to 8)
-    return ((psz + 1 + 7) // 8) * 8 + 8
-
-
-def _win_cols(psz: int) -> int:
-    # covers psz+1 cols at any lane phase (start rounded down to 128)
-    return ((psz + 1 + 127) // 128) * 128 + 128
+def _win_rows(span: int) -> int:
+    # covers `span` rows at any sublane phase (start rounded down to 8)
+    return ((span + 7) // 8) * 8 + 8
 
 
 def pallas_available(dtype=jnp.float32) -> bool:
@@ -68,35 +74,84 @@ def _bilinear_base(centers, psz: int, padding: int):
     return row0, col0, w
 
 
-def _pad_image(img, psz: int):
-    """Pad so any clipped (row0, col0) admits an aligned window load."""
+def _padded_geom(H: int, W: int, span: int):
+    """Per-plane padded geometry admitting any clipped two-phase load.
+
+    A window load starts at (8-aligned row, 128-aligned lane) and spans
+    (_win_rows(span), 128); lane phases are < _PHASE after the two-phase
+    split, so the max lane touched is ceil128(W - 1 - _PHASE) + 128.
+    """
+    Hp = ((H + 7) // 8) * 8 + _win_rows(span)
+    Wp = ((W + 127) // 128) * 128 + _LANES
+    return Hp, Wp
+
+
+def _stack_2phase(img, span: int):
+    """Pad a plane and stack it with its 64-lane-left-shifted copy.
+
+    Returns (2*Hp, Wp): rows [0, Hp) hold the padded plane, rows
+    [Hp, 2Hp) hold the same plane shifted left by _PHASE lanes.  Loads
+    never reach the shifted copy's undefined right margin (window spans
+    are <= _PHASE + span + 1 << the pad width).
+    """
     H, W = img.shape
-    H_pad = ((H + 7) // 8) * 8 + _win_rows(psz)
-    W_pad = ((W + 127) // 128) * 128 + _win_cols(psz)
-    return jnp.pad(img, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
+    Hp, Wp = _padded_geom(H, W, span)
+    img_p = jnp.pad(img, ((0, Hp - H), (0, Wp - W)), mode="edge")
+    img_s = jnp.pad(img_p[:, _PHASE:], ((0, 0), (0, _PHASE)))
+    return jnp.concatenate([img_p, img_s], axis=0)
 
 
-def _prep_indices(centers, psz, padding, H, W):
+def _prep_loads(row0, col0, span: int, H: int, W: int):
+    """Host-side two-phase load plan: (load_r, load_c, roll_r, roll_c).
+
+    load_r indexes the stacked (2*Hp, Wp) plane: phase->=64 points load
+    from the shifted copy (rows offset by Hp) at lane phase o - 64.
+    """
+    Hp, _ = _padded_geom(H, W, span)
+    row0 = jnp.clip(row0, 0, H - 1)
+    col0 = jnp.clip(col0, 0, W - 1)
+    r_al = (row0 // 8) * 8
+    phase = col0 % _LANES
+    sel = (phase >= _PHASE).astype(jnp.int32)
+    c_eff = col0 - sel * _PHASE
+    c_al = (c_eff // _LANES) * _LANES
+    return (r_al + sel * Hp, c_al, row0 - r_al, c_eff - c_al)
+
+
+def _prep_indices(centers, psz, padding, H, W, span):
     flat = centers.reshape(-1, 2)
     M = flat.shape[0]
     row0, col0, w = _bilinear_base(flat, psz, padding)
-    row0 = jnp.clip(row0, 0, H - 1)
-    col0 = jnp.clip(col0, 0, W - 1)
+    load_r, load_c, roll_r, roll_c = _prep_loads(row0, col0, span, H, W)
     M_pad = ((M + _T - 1) // _T) * _T
     pad = M_pad - M
-    row0 = jnp.pad(row0, (0, pad))
-    col0 = jnp.pad(col0, (0, pad))
+    idx = jnp.stack([load_r, load_c, roll_r, roll_c], axis=1)
+    idx = jnp.pad(idx, ((0, pad), (0, 0)))
     w = jnp.pad(w, ((0, pad), (0, 0)))
-    return jnp.stack([row0, col0], axis=1), w.astype(jnp.float32), M, M_pad
+    return idx, w.astype(jnp.float32), M, M_pad
 
 
-def _load_window(img_ref, r, c, psz):
-    wr, wc = _win_rows(psz), _win_cols(psz)
-    r_al = (r // 8) * 8
-    c_al = (c // 128) * 128
-    win = img_ref[pl.ds(r_al, wr), pl.ds(c_al, wc)]
-    win = pltpu.roll(win, wr - (r - r_al), axis=0)
-    return pltpu.roll(win, wc - (c - c_al), axis=1)
+def _point_plan(idx_ref, i, span: int):
+    """Read one point's load plan from SMEM once (shared across planes).
+
+    The //8*8 and //128*128 are numerical no-ops (the host already
+    aligned the starts) that let Mosaic statically prove alignment.
+    """
+    wr = _win_rows(span)
+    r = (idx_ref[i, 0] // 8) * 8
+    c = (idx_ref[i, 1] // _LANES) * _LANES
+    return r, c, wr - idx_ref[i, 2], _LANES - idx_ref[i, 3]
+
+
+def _load_planned(img_ref, plan, span: int):
+    r, c, roll_r, roll_c = plan
+    win = img_ref[pl.ds(r, _win_rows(span)), pl.ds(c, _LANES)]
+    win = pltpu.roll(win, roll_r, axis=0)
+    return pltpu.roll(win, roll_c, axis=1)
+
+
+def _load_window(img_ref, idx_ref, i, span: int):
+    return _load_planned(img_ref, _point_plan(idx_ref, i, span), span)
 
 
 def _tap(win, w_ref, i, psz):
@@ -112,7 +167,7 @@ def _kernel_single(psz, idx_ref, w_ref, img_ref, out_ref):
     def body(j, _):
         for u in range(_UNROLL):
             i = j * _UNROLL + u
-            win = _load_window(img_ref, idx_ref[i, 0], idx_ref[i, 1], psz)
+            win = _load_window(img_ref, idx_ref, i, psz + 1)
             out_ref[i] = _tap(win, w_ref, i, psz)
         return 0
 
@@ -124,11 +179,13 @@ def _kernel_grad(psz, idx_ref, w_ref, img_ref, dx_ref, dy_ref,
     def body(j, _):
         for u in range(_UNROLL):
             i = j * _UNROLL + u
-            r = idx_ref[i, 0]
-            c = idx_ref[i, 1]
-            out_i_ref[i] = _tap(_load_window(img_ref, r, c, psz), w_ref, i, psz)
-            out_dx_ref[i] = _tap(_load_window(dx_ref, r, c, psz), w_ref, i, psz)
-            out_dy_ref[i] = _tap(_load_window(dy_ref, r, c, psz), w_ref, i, psz)
+            plan = _point_plan(idx_ref, i, psz + 1)
+            out_i_ref[i] = _tap(_load_planned(img_ref, plan, psz + 1),
+                                w_ref, i, psz)
+            out_dx_ref[i] = _tap(_load_planned(dx_ref, plan, psz + 1),
+                                 w_ref, i, psz)
+            out_dy_ref[i] = _tap(_load_planned(dy_ref, plan, psz + 1),
+                                 w_ref, i, psz)
         return 0
 
     jax.lax.fori_loop(0, _T // _UNROLL, body, 0)
@@ -141,9 +198,11 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
 
     img: (Hp, Wp) float32 padded level; centers: (..., 2) -> (..., psz, psz).
     """
-    img_p = _pad_image(img, psz)
-    Hp, Wp = img_p.shape
-    idx, w, M, M_pad = _prep_indices(centers, psz, padding, img.shape[0], img.shape[1])
+    span = psz + 1
+    stacked = _stack_2phase(img, span)
+    Hs, Ws = stacked.shape
+    idx, w, M, M_pad = _prep_indices(
+        centers, psz, padding, img.shape[0], img.shape[1], span)
 
     out = pl.pallas_call(
         functools.partial(_kernel_single, psz),
@@ -151,15 +210,15 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
         grid_spec=pl.GridSpec(
             grid=(M_pad // _T,),
             in_specs=[
-                pl.BlockSpec((_T, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((_T, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_T, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((Hs, Ws), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
                 (_T, psz, psz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
         ),
-    )(idx, w, img_p)
+    )(idx, w, stacked)
 
     patches = out[:M].reshape(centers.shape[:-1] + (psz, psz))
     if patch_norm:
@@ -167,7 +226,8 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
     return patches
 
 
-# fused 3-plane kernel must fit: 3 planes + in/out blocks inside ~16MB VMEM
+# fused 3-plane kernel must fit: 3 two-phase-stacked planes + in/out
+# blocks inside ~16MB VMEM
 _FUSED_VMEM_BUDGET = 11 * 1024 * 1024
 
 
@@ -176,11 +236,11 @@ def gather_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                         centers: jnp.ndarray, psz: int, padding: int,
                         patch_norm: bool = False):
     """Pallas twin of image.patch.extract_patches_grad (3 planes, shared
-    index math).  Large levels (3 planes would overflow VMEM) fall back
-    to three single-plane kernel launches."""
-    H_pad = ((img.shape[0] + 7) // 8) * 8 + _win_rows(psz)
-    W_pad = ((img.shape[1] + 127) // 128) * 128 + _win_cols(psz)
-    if 3 * H_pad * W_pad * 4 > _FUSED_VMEM_BUDGET:
+    index math).  Large levels (3 stacked planes would overflow VMEM)
+    fall back to three single-plane kernel launches."""
+    span = psz + 1
+    Hp, Wp = _padded_geom(img.shape[0], img.shape[1], span)
+    if 3 * 2 * Hp * Wp * 4 > _FUSED_VMEM_BUDGET:
         p_img = gather_patches(img, centers, psz, padding, patch_norm=False)
         p_dx = gather_patches(dx, centers, psz, padding, patch_norm=False)
         p_dy = gather_patches(dy, centers, psz, padding, patch_norm=False)
@@ -188,13 +248,14 @@ def gather_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
             p_img = p_img - jnp.mean(p_img, axis=(-2, -1), keepdims=True)
         return p_img, p_dx, p_dy
 
-    img_p = _pad_image(img, psz)
-    dx_p = _pad_image(dx, psz)
-    dy_p = _pad_image(dy, psz)
-    Hp, Wp = img_p.shape
-    idx, w, M, M_pad = _prep_indices(centers, psz, padding, img.shape[0], img.shape[1])
+    img_2 = _stack_2phase(img, span)
+    dx_2 = _stack_2phase(dx, span)
+    dy_2 = _stack_2phase(dy, span)
+    Hs, Ws = img_2.shape
+    idx, w, M, M_pad = _prep_indices(
+        centers, psz, padding, img.shape[0], img.shape[1], span)
 
-    spec_img = pl.BlockSpec((Hp, Wp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_img = pl.BlockSpec((Hs, Ws), lambda i: (0, 0), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((_T, psz, psz), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((M_pad, psz, psz), jnp.float32)
@@ -204,13 +265,13 @@ def gather_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
         grid_spec=pl.GridSpec(
             grid=(M_pad // _T,),
             in_specs=[
-                pl.BlockSpec((_T, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((_T, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((_T, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
                 spec_img, spec_img, spec_img,
             ],
             out_specs=(spec_out, spec_out, spec_out),
         ),
-    )(idx, w, img_p, dx_p, dy_p)
+    )(idx, w, img_2, dx_2, dy_2)
 
     shp = centers.shape[:-1] + (psz, psz)
     p_img = out_i[:M].reshape(shp)
@@ -227,15 +288,7 @@ def _kernel_windows(wh, ww, idx_ref, img_ref, out_ref):
     def body(j, _):
         for u in range(_UNROLL):
             i = j * _UNROLL + u
-            r = idx_ref[i, 0]
-            c = idx_ref[i, 1]
-            r_al = (r // 8) * 8
-            c_al = (c // 128) * 128
-            rows = ((wh + 7) // 8) * 8 + 8
-            cols = ((ww + 127) // 128) * 128 + 128
-            win = img_ref[pl.ds(r_al, rows), pl.ds(c_al, cols)]
-            win = pltpu.roll(win, rows - (r - r_al), axis=0)
-            win = pltpu.roll(win, cols - (c - c_al), axis=1)
+            win = _load_window(img_ref, idx_ref, i, max(wh, ww))
             out_ref[i] = win[:wh, :ww]
         return 0
 
@@ -252,20 +305,18 @@ def gather_windows(img: jnp.ndarray, origins: jnp.ndarray, wh: int, ww: int):
     vector math (ops.window_sample) instead of a per-point gather.
     """
     H, W = img.shape
-    rows = ((wh + 7) // 8) * 8 + 8
-    cols = ((ww + 127) // 128) * 128 + 128
-    H_pad = ((H + 7) // 8) * 8 + rows
-    W_pad = ((W + 127) // 128) * 128 + cols
-    img_p = jnp.pad(img, ((0, H_pad - H), (0, W_pad - W)), mode="edge")
+    span = max(wh, ww)
+    assert ww + _PHASE <= _LANES, "window too wide for two-phase loads"
+    stacked = _stack_2phase(img, span)
+    Hs, Ws = stacked.shape
 
     flat = origins.reshape(-1, 2)
     M = flat.shape[0]
-    r0 = jnp.clip(flat[:, 0], 0, H - 1)
-    c0 = jnp.clip(flat[:, 1], 0, W - 1)
+    load_r, load_c, roll_r, roll_c = _prep_loads(
+        flat[:, 0], flat[:, 1], span, H, W)
     M_pad = ((M + _T - 1) // _T) * _T
-    r0 = jnp.pad(r0, (0, M_pad - M))
-    c0 = jnp.pad(c0, (0, M_pad - M))
-    idx = jnp.stack([r0, c0], axis=1)
+    idx = jnp.stack([load_r, load_c, roll_r, roll_c], axis=1)
+    idx = jnp.pad(idx, ((0, M_pad - M), (0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_kernel_windows, wh, ww),
@@ -273,12 +324,12 @@ def gather_windows(img: jnp.ndarray, origins: jnp.ndarray, wh: int, ww: int):
         grid_spec=pl.GridSpec(
             grid=(M_pad // _T,),
             in_specs=[
-                pl.BlockSpec((_T, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((H_pad, W_pad), lambda i: (0, 0),
+                pl.BlockSpec((_T, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((Hs, Ws), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((_T, wh, ww), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-    )(idx, img_p)
+    )(idx, stacked)
     return out[:M].reshape(origins.shape[:-1] + (wh, ww))
