@@ -64,19 +64,16 @@ class ICGNAux(NamedTuple):
     valid_ref: jnp.ndarray    # (S,) number of in-frustum reference points
 
 
-def steepest_descent_images(p_dx, p_dy, Xc, fx, fy):
-    """Build the 6 steepest-descent planes from gradient patches and
-    camera-frame points (reference: odometer.cpp:302-328).
-
-    p_dx, p_dy: (N, psz, psz) gradient patches at the reference view.
-    Xc: (N, 3) points rotated into the reference camera frame.
-    Returns (N, 6, psz, psz).
-
-    Pinhole Jacobian (focal lengths folded in; reference comment
-    odometer.cpp:314-315):
+def sd_jacobian_rows(Xc, fx, fy):
+    """Per-point pinhole Jacobian rows (jx, jy), each (..., N, 6)
+    (reference comment odometer.cpp:314-315):
       J = [ fx/z, 0,    -fx x/z^2, -fx x y/z^2,      fx(1 + x^2/z^2), -fx y/z ]
           [ 0,    fy/z, -fy y/z^2, -fy(1 + y^2/z^2), fy x y/z^2,       fy x/z ]
-    sd_k = J[0,k] * p_dx + J[1,k] * p_dy.
+
+    The rows are constant over a patch, so every steepest-descent plane
+    factors as sd_k = jx_k * p_dx + jy_k * p_dy — the structure behind
+    the reference's 21-term Hessian accumulation (odometer.cpp:428-507)
+    and this solver's moment-based fast path.
     """
     x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
     zsq = z * z
@@ -102,6 +99,18 @@ def steepest_descent_images(p_dx, p_dy, Xc, fx, fy):
         ],
         axis=-1,
     )
+    return jx, jy
+
+
+def steepest_descent_images(p_dx, p_dy, Xc, fx, fy):
+    """Build the 6 steepest-descent planes from gradient patches and
+    camera-frame points (reference: odometer.cpp:302-328).
+
+    p_dx, p_dy: (N, psz, psz) gradient patches at the reference view.
+    Xc: (N, 3) points rotated into the reference camera frame.
+    Returns (N, 6, psz, psz): sd_k = jx_k * p_dx + jy_k * p_dy.
+    """
+    jx, jy = sd_jacobian_rows(Xc, fx, fy)
     return (
         jx[..., :, None, None] * p_dx[..., None, :, :]
         + jy[..., :, None, None] * p_dy[..., None, :, :]
@@ -138,38 +147,77 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
     # bilinear weights before any output mask can zero them; sample
     # invalid points at a harmless fixed position instead.
     uv_ref = jnp.where(valid_ref[..., None], uv_ref, jnp.zeros_like(uv_ref))
-    p_img, p_dx, p_dy = extract_patches_grad(
-        level_ref.img, level_ref.dx, level_ref.dy, uv_ref, cfg.psz,
-        cam_level_padding(cfg), patch_norm=cfg.dopatchnorm,
-    )
-    # [5] steepest-descent images, masked (explicit-zero semantics).
+
+    use_fused = cfg.window_cache and fused_iter.supported(
+        cfg.psz, cfg.window_size, uv_ref.dtype)
+    qwin = origins = None
+    if use_fused:
+        # ONE dual-gather launch per scale: reference patches (+ in-
+        # kernel gradients) and the query-window cache share the point
+        # loop (ops/patch_pallas.py::gather_ref_grad_and_windows)
+        from invcompcamtrack_tpu.ops.patch_pallas import (
+            gather_ref_grad_and_windows)
+
+        G_entry = lie.se3_exp(p)
+        uv_entry = pose_ops.project_points(G_entry, Xn, fx, fy, cx, cy)
+        uv_entry = jnp.where(
+            jnp.isfinite(uv_entry) & valid_ref[..., None], uv_entry, 0.0
+        )
+        origins = window_origin(uv_entry, cfg.psz, cfg.window_size,
+                                cam_level_padding(cfg))
+        p_img, p_dx, p_dy, qwin = gather_ref_grad_and_windows(
+            level_ref.img, level_new.img, uv_ref, origins, cfg.psz,
+            cam_level_padding(cfg), cfg.window_size,
+            patch_norm=cfg.dopatchnorm,
+        )
+    else:
+        p_img, p_dx, p_dy = extract_patches_grad(
+            level_ref.img, level_ref.dx, level_ref.dy, uv_ref, cfg.psz,
+            cam_level_padding(cfg), patch_norm=cfg.dopatchnorm,
+        )
+    # [5] steepest-descent structure, masked (explicit-zero semantics).
     # Invalid points may sit at z ~ 0 (e.g. empty landmark slots); the
     # Jacobian divides by z, and inf * 0-mask = NaN — so sanitize the
     # camera-frame points BEFORE the division, then mask.
     Xc_safe = jnp.where(valid_ref[..., None], Xc_ref, jnp.ones_like(Xc_ref))
-    sd = steepest_descent_images(p_dx, p_dy, Xc_safe, fx, fy)
-    sd = sd * valid_ref[..., None, None, None].astype(sd.dtype)
 
-    # fused-iteration fast path: the whole GN iteration body (window
-    # resample + residual + sd projection) runs as ONE Pallas kernel per
-    # iteration (ops/icgn_iter_pallas.py) — stride-16 lane layouts
-    use_fused = cfg.window_cache and fused_iter.supported(
-        cfg.psz, cfg.window_size, sd.dtype)
-
+    # fused-iteration fast path: the GN iteration body (window resample
+    # + residual + gradient projection) runs as ONE Pallas kernel per
+    # iteration (ops/icgn_iter_pallas.py).  The 6 sd planes factor as
+    # sd_k = jx_k p_dx + jy_k p_dy with per-point Jacobian rows, so the
+    # Hessian reduces to 3 patch moments (a, b, c) contracted with
+    # jx/jy outer products (the reference's 21-term accumulation,
+    # odometer.cpp:428-507) and the per-pixel iteration work to two
+    # projections (gx, gy) — the (N, 6, npix) sd tensor never exists.
     if use_fused:
-        sd_s = fused_iter.to_strided(sd)                 # lead+(N,6,128)
-        # Hessian from the FULL-precision planes (computed once per
-        # scale); the per-iteration planes may then be stored bf16
-        H = jnp.einsum("...nkp,...nlp->...kl", sd_s, sd_s, precision=_PREC)
-        store_dt = jnp.bfloat16 if cfg.bf16_gather else sd.dtype
+        jx, jy = sd_jacobian_rows(Xc_safe, fx, fy)       # lead+(N,6)
+        vmask = valid_ref[..., None].astype(p_img.dtype)
+        jx = jx * vmask
+        jy = jy * vmask
+        pdx_s = fused_iter.to_strided(p_dx)              # lead+(N,128)
+        pdy_s = fused_iter.to_strided(p_dy)
+        a_m = jnp.sum(pdx_s * pdx_s, axis=-1)            # lead+(N,)
+        b_m = jnp.sum(pdx_s * pdy_s, axis=-1)
+        c_m = jnp.sum(pdy_s * pdy_s, axis=-1)
+        H = (
+            jnp.einsum("...nk,...nl,...n->...kl", jx, jx, a_m, precision=_PREC)
+            + jnp.einsum("...nk,...nl,...n->...kl", jx, jy, b_m, precision=_PREC)
+            + jnp.einsum("...nk,...nl,...n->...kl", jy, jx, b_m, precision=_PREC)
+            + jnp.einsum("...nk,...nl,...n->...kl", jy, jy, c_m, precision=_PREC)
+        )
+        # the per-iteration planes may be stored bf16
+        store_dt = jnp.bfloat16 if cfg.bf16_gather else p_img.dtype
+        n_str = fused_iter.PSZ * fused_iter.WIN
         ref_s = fused_iter.to_strided(
             p_img * valid_ref[..., None, None].astype(p_img.dtype)
-        ).astype(store_dt).reshape(-1, fused_iter.PSZ * fused_iter.WIN)
-        sd_sf = sd_s.astype(store_dt).reshape(
-            -1, 6 * fused_iter.PSZ * fused_iter.WIN)
+        ).astype(store_dt).reshape(-1, n_str)
+        pdx_f = pdx_s.astype(store_dt).reshape(-1, n_str)
+        pdy_f = pdy_s.astype(store_dt).reshape(-1, n_str)
         sd_flat = None
         ref_flat = None
     else:
+        sd = steepest_descent_images(p_dx, p_dy, Xc_safe, fx, fy)
+        sd = sd * valid_ref[..., None, None, None].astype(sd.dtype)
         sd_flat = sd.reshape(lead + (N, 6, npix))
         # [6] 6x6 Hessian: one MXU contraction over (point, pixel) pairs
         H = jnp.einsum("...nkp,...nlp->...kl", sd_flat, sd_flat,
@@ -178,7 +226,7 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
             p_img * valid_ref[..., None, None].astype(p_img.dtype)
         ).reshape(lead + (N, npix))
 
-    if cfg.window_cache:
+    if cfg.window_cache and not use_fused:
         # cache local query-image windows at the scale-entry projections;
         # iterations resample from the dense tensor (no per-iter gather)
         G_entry = lie.se3_exp(p)
@@ -189,10 +237,10 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         origins = window_origin(uv_entry, cfg.psz, cfg.window_size,
                                 cam_level_padding(cfg))
         qwin = gather_windows_any(level_new.img, origins, cfg.window_size)
-        if use_fused:
-            qwin_flat = qwin.reshape(
-                -1, cfg.window_size * cfg.window_size
-            ).astype(jnp.bfloat16 if cfg.bf16_gather else qwin.dtype)
+    if use_fused:
+        qwin_flat = qwin.reshape(
+            -1, cfg.window_size * cfg.window_size
+        ).astype(jnp.bfloat16 if cfg.bf16_gather else qwin.dtype)
 
     def cond(state):
         it, _p, _G, _normdp, _normdp_init, active = state
@@ -222,13 +270,18 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
                              0, n_off - 1)
             wts = jnp.stack([rx * ry, (1 - rx) * ry, rx * (1 - ry),
                              (1 - rx) * (1 - ry)], axis=-1)
-            rhs_pts = fused_iter.fused_gn_rhs(
-                qwin_flat, sd_sf, ref_s,
+            g = fused_iter.fused_resample_project(
+                qwin_flat, ref_s, pdx_f, pdy_f,
                 row_w.reshape(-1), col_w.reshape(-1),
                 wts.reshape(-1, 4).astype(jnp.float32),
                 valid_new.reshape(-1), patch_norm=cfg.dopatchnorm,
+            ).reshape(lead + (N, 2))
+            # rhs_k = sum_n jx_nk gx_n + jy_nk gy_n (tiny contraction;
+            # the (N, 6, npix) sd tensor never enters the loop)
+            rhs = (
+                jnp.einsum("...nk,...n->...k", jx, g[..., 0], precision=_PREC)
+                + jnp.einsum("...nk,...n->...k", jy, g[..., 1], precision=_PREC)
             )
-            rhs = jnp.sum(rhs_pts.reshape(lead + (N, 6)), axis=-2)
         else:
             if cfg.window_cache:
                 q = sample_from_windows(
