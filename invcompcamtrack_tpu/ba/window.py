@@ -50,6 +50,66 @@ class BAProblem(NamedTuple):
     fixed_pose_mask: jnp.ndarray  # (K,) bool — True = pose held fixed
 
 
+class OdoFactors(NamedTuple):
+    """Relative-pose (odometry) prior factors between ring-consecutive
+    poses — the tightly-coupled fusion of the photometric odometer into
+    the reprojection BA.
+
+    Without these, joint BA *replaces* the tracker's pose with whatever
+    the (possibly sparse, freshly-triangulated) reprojection terms
+    prefer; with them, BA *fuses* both measurements, so a window with
+    weak structure can never be dragged below pure-odometry quality.
+    Factor k constrains poses ``(k-1) % K -> k`` (ring slot order).
+    """
+
+    rel: jnp.ndarray     # (K, 3, 4) measured relative group G_k G_{k-1}^{-1}
+    mask: jnp.ndarray    # (K,) bool — factor k active
+    w_t: jnp.ndarray     # scalar: pixel-equivalent weight per unit translation
+    w_r: jnp.ndarray     # scalar: pixel-equivalent weight per radian
+
+
+def odo_residuals(poses: jnp.ndarray, odo: OdoFactors) -> jnp.ndarray:
+    """(K, 6) weighted relative-pose discrepancy residuals.
+
+    Discrepancy D = (G_k G_{k-1}^{-1}) rel_k^{-1}; the residual is the
+    first-order se(3) coordinate of D: [t_D, vex(R_D - R_D^T)/2] — a
+    polynomial in the pose entries (AD-safe everywhere, unlike the exact
+    log map whose arccos derivative blows up at the identity, exactly
+    where a converged prior lives).
+    """
+    G = jax.vmap(lie.se3_exp)(poses)
+    Gp = jnp.roll(G, 1, axis=0)
+    G_rel = lie.se3_compose(G, lie.se3_inverse(Gp))
+    D = lie.se3_compose(G_rel, lie.se3_inverse(odo.rel))
+    R = D[..., :3]
+    rw = 0.5 * jnp.stack([R[..., 2, 1] - R[..., 1, 2],
+                          R[..., 0, 2] - R[..., 2, 0],
+                          R[..., 1, 0] - R[..., 0, 1]], axis=-1)
+    r = jnp.concatenate([D[..., 3] * odo.w_t, rw * odo.w_r], axis=-1)
+    return jnp.where(odo.mask[:, None], r, 0.0)
+
+
+def _odo_system(poses: jnp.ndarray, odo: OdoFactors, fixed: jnp.ndarray):
+    """GN system of the odometry factors: (H (6K, 6K), b (K, 6), cost).
+
+    b is J^T (-r) so it adds directly onto the reprojection rhs
+    (which uses res = measurement - model).  Fixed poses' columns are
+    zeroed; K is a small window, so the dense (6K, 6K) H is cheap and
+    exact (block-tridiagonal + ring wrap in structure).
+    """
+    K = poses.shape[0]
+
+    def rfun(ps):
+        return odo_residuals(ps, odo).reshape(-1)
+
+    r = rfun(poses)
+    J = jax.jacfwd(rfun)(poses)                      # (6K, K, 6)
+    J = jnp.where(fixed[None, :, None], 0.0, J).reshape(6 * K, 6 * K)
+    H = jnp.matmul(J.T, J, precision=_PREC)
+    b = -jnp.matmul(J.T, r, precision=_PREC).reshape(K, 6)
+    return H, b, jnp.sum(r * r)
+
+
 def _project_one(p, X, fx, fy, cx, cy):
     G = lie.se3_exp(p)
     Xc = G[:, :3] @ X + G[:, 3]
@@ -125,7 +185,8 @@ def _jacobians(prob: BAProblem):
 
 
 def schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters: int = 32,
-                   tol: float = 1e-10, psum_axis: str | None = None):
+                   tol: float = 1e-10, psum_axis: str | None = None,
+                   H_extra: jnp.ndarray | None = None):
     """Matrix-free preconditioned CG on the reduced camera system.
 
     Solves ``S x = rhs`` where ``S = Hpp_diag + fixed*I - W Hxp^T``
@@ -149,13 +210,20 @@ def schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters: int = 32,
     def matvec(x):
         t = jnp.einsum("klim,ki->lm", Hpx, x, precision=_PREC)      # (L,3)
         y = _ps(jnp.einsum("klim,lm->ki", W, t, precision=_PREC))   # (K,6)
-        return (jnp.einsum("kij,kj->ki", Hpp, x, precision=_PREC)
-                + fixed_f[:, None] * x - y)
+        out = (jnp.einsum("kij,kj->ki", Hpp, x, precision=_PREC)
+               + fixed_f[:, None] * x - y)
+        if H_extra is not None:
+            out = out + jnp.matmul(
+                H_extra, x.reshape(-1), precision=_PREC).reshape(K, 6)
+        return out
 
     # block-diagonal preconditioner M_k = S_kk
     S_kk = Hpp - _ps(
         jnp.einsum("klim,kljm->kij", W, Hpx, precision=_PREC)
     ) + fixed_f[:, None, None] * jnp.eye(6, dtype=dtype)
+    if H_extra is not None:
+        Hx = H_extra.reshape(K, 6, K, 6)
+        S_kk = S_kk + Hx[jnp.arange(K), :, jnp.arange(K), :]
 
     def prec(r):
         return jnp.linalg.solve(S_kk, r[..., None])[..., 0]
@@ -188,7 +256,8 @@ def schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters: int = 32,
 
 def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
                 reduced_solver: str = "dense", cg_iters: int = 32,
-                lm_eig_floor: float | None = None):
+                lm_eig_floor: float | None = None,
+                odo: OdoFactors | None = None):
     """One damped GN step via Schur elimination of the landmarks.
 
     With ``huber_delta``, IRLS reweighting (sqrt-weights folded into the
@@ -255,12 +324,20 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
     rhs = bp - jnp.einsum("klim,lm->ki", W, bx, precision=_PREC)       # (K,6)
     fixed = prob.fixed_pose_mask
 
+    H_odo = None
+    if odo is not None:
+        H_odo, b_odo, _ = _odo_system(prob.poses, odo, fixed)
+        rhs = rhs + b_odo
+
     if reduced_solver == "cg":
-        dpose = schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters=cg_iters)
+        dpose = schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters=cg_iters,
+                               H_extra=H_odo)
     else:
         S_off = jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC)  # (K,6,K,6)
         S = -S_off
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
+        if H_odo is not None:
+            S = S + H_odo.reshape(K, 6, K, 6)
         # keep fixed poses' rows/cols well-conditioned (their J is zero)
         diag_boost = (fixed.astype(res.dtype))[:, None] * jnp.ones(6, res.dtype)
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(
@@ -277,6 +354,17 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
     return dpose, dlm
 
 
+def _total_cost(prob: BAProblem, odo: OdoFactors | None,
+                huber_delta: float | None):
+    """(residuals, scalar cost) including the odometry-prior term."""
+    res, err = ba_residuals(prob, huber_delta)
+    if odo is not None:
+        cnt = jnp.maximum(jnp.sum(prob.mask), 1)
+        r = odo_residuals(prob.poses, odo)
+        err = err + jnp.sum(r * r) / (2.0 * cnt)
+    return res, err
+
+
 def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
              damp_up: float = 10.0, damp_down: float = 10.0,
              huber_delta: float | None = None,
@@ -284,7 +372,8 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
              lm_step_clip: float | None = None,
              per_landmark_accept: bool = False,
              damp_min: float = 0.0,
-             lm_eig_floor: float | None = None):
+             lm_eig_floor: float | None = None,
+             odo: OdoFactors | None = None):
     """Levenberg-Marquardt loop with accept/reject on the total error.
 
     ``huber_delta`` (pixels) turns on Huber-robust IRLS weighting —
@@ -317,7 +406,8 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
         dpose, dlm = _schur_step(p0, damp, huber_delta,
                                  reduced_solver=reduced_solver,
                                  cg_iters=cg_iters,
-                                 lm_eig_floor=lm_eig_floor)
+                                 lm_eig_floor=lm_eig_floor,
+                                 odo=odo)
         if lm_step_clip is not None:
             centers = jax.vmap(lambda p: lie.camera_center(lie.se3_exp(p)))(
                 poses)                                              # (K,3)
@@ -330,7 +420,7 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
                                 / jnp.maximum(dn, 1e-12))
             dlm = dlm * scale[:, None]
         cand = prob._replace(poses=poses + dpose, landmarks=lms + dlm)
-        res_new, err_new = ba_residuals(cand, huber_delta)
+        res_new, err_new = _total_cost(cand, odo, huber_delta)
         if per_landmark_accept:
             res_old, _ = ba_residuals(
                 prob._replace(poses=cand.poses, landmarks=lms), huber_delta)
@@ -341,8 +431,8 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
             ok = err_new < err
             poses = jnp.where(ok, cand.poses, poses)
             lms = jnp.where(ok_l[:, None], cand.landmarks, lms)
-            _, err = ba_residuals(
-                prob._replace(poses=poses, landmarks=lms), huber_delta)
+            _, err = _total_cost(
+                prob._replace(poses=poses, landmarks=lms), odo, huber_delta)
         else:
             ok = err_new < err
             poses = jnp.where(ok, cand.poses, poses)
@@ -352,7 +442,7 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
                            damp_min)
         return (poses, lms, damp, err), err
 
-    _, err0 = ba_residuals(prob, huber_delta)
+    _, err0 = _total_cost(prob, odo, huber_delta)
     (poses, lms, _, err), _ = jax.lax.scan(
         step,
         (prob.poses, prob.landmarks, jnp.asarray(damp_init, prob.poses.dtype), err0),

@@ -63,8 +63,18 @@ def vo_state_dict(vo) -> Dict[str, Any]:
     bit-exactly without re-feeding images."""
     import jax
 
-    leaves, _ = jax.tree.flatten(vo.state)
-    out = {f"state_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+    flat = jax.tree_util.tree_flatten_with_path(vo.state)[0]
+    # NAME-keyed leaves: robust to VOState gaining/reordering fields
+    # (a positional state_{i} format silently mis-assigns every leaf
+    # after an insertion)
+    out = {"state" + jax.tree_util.keystr(kp): np.asarray(x)
+           for kp, x in flat}
+    # level-0 keyframe image stack is (K, H+2p, W+2p): record the
+    # unpadded size so restore can build a template without guessing
+    pad = vo.cfg.tracker.psz
+    img0 = np.asarray(vo.state.kf_pyr[0].img)
+    out["img_wh_host"] = np.asarray(
+        [img0.shape[2] - 2 * pad, img0.shape[1] - 2 * pad])
     out["frame_idx_host"] = np.asarray(vo._frame_idx)
     out["trajectory"] = (np.asarray(vo.trajectory) if vo.trajectory
                          else np.zeros((0, 3)))
@@ -79,15 +89,11 @@ def restore_vo_state(vo, state: Dict[str, np.ndarray]) -> None:
     import jax.numpy as jnp
 
     if vo.state is None:
-        # build a template with the right pytree structure; leaf 7 is the
-        # level-0 keyframe image stack (K, H+2p, W+2p) in VOState order
-        h = int(np.asarray(state["state_7"]).shape[1])
-        w = int(np.asarray(state["state_7"]).shape[2])
-        pad = vo.cfg.tracker.psz
-        vo.state = vo._empty_state((w - 2 * pad, h - 2 * pad))
-    _, treedef = jax.tree.flatten(vo.state)
-    n = treedef.num_leaves
-    leaves = [jnp.asarray(state[f"state_{i}"]) for i in range(n)]
+        w, h = (int(x) for x in np.asarray(state["img_wh_host"]))
+        vo.state = vo._empty_state((w, h))
+    flat, treedef = jax.tree_util.tree_flatten_with_path(vo.state)
+    leaves = [jnp.asarray(state["state" + jax.tree_util.keystr(kp)])
+              for kp, _ in flat]
     vo.state = jax.tree.unflatten(treedef, leaves)
     vo._frame_idx = int(state["frame_idx_host"])
     vo.trajectory = [c for c in np.asarray(state["trajectory"])]

@@ -26,6 +26,13 @@ Design (round 2 — fully fused):
   previous keyframe into the new one, so the observation grid holds
   pixel measurements, not reprojections of the current state.  BA is
   Huber-robust (``VOConfig.huber_px``).
+- Joint ("full") BA FUSES the photometric odometer instead of
+  overriding it: every keyframe promotion records the tracker's
+  relative pose prev->new in a ring (``kf_rel``), and those
+  measurements enter the window as relative-pose prior factors
+  (``ba.window.OdoFactors``).  A window whose structure is young or
+  weak (heavy landmark turnover, low parallax) can then never be
+  dragged below pure-odometry quality by its reprojection terms.
 - Landmark lifecycle: a landmark that fails re-observation
   ``max_obs_fail`` consecutive keyframes while expected visible is
   retired and its slot freed for new triangulations — the fixed-capacity
@@ -45,7 +52,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from invcompcamtrack_tpu.ba.window import BAProblem, ba_solve
+from invcompcamtrack_tpu.ba.window import BAProblem, OdoFactors, ba_solve
 from invcompcamtrack_tpu.config import ICGNParams
 from invcompcamtrack_tpu.core import lie
 from invcompcamtrack_tpu.core import pose as pose_ops
@@ -83,6 +90,12 @@ class VOConfig:
     #   eigen-directions below this fraction of lambda_max (an along-ray
     #   direction has lambda ~ (baseline/depth)^2 of the cross-ray ones)
     #   get NO update — depth refines only once baseline/depth >~ 7%
+    odo_prior: bool = True       # full mode: fuse the photometric
+    #   odometer's relative poses as prior factors between consecutive
+    #   keyframes, so joint BA can never drag a pose below pure-odometry
+    #   quality when the window's structure is weak/young
+    odo_sigma_t: float = 0.01    # odometry 1-sigma translation (world units)
+    odo_sigma_r: float = 0.001   # odometry 1-sigma rotation (radians)
 
 
 class VOState(NamedTuple):
@@ -95,6 +108,9 @@ class VOState(NamedTuple):
     kf_valid: jnp.ndarray     # (K,) bool
     kf_obs: jnp.ndarray       # (K, L, 2) MEASURED pixel observations
     kf_obs_mask: jnp.ndarray  # (K, L) bool
+    kf_rel: jnp.ndarray       # (K, 3, 4) measured relative pose from ring
+    #                           slot (k-1)%K to slot k (photometric odometry)
+    kf_rel_valid: jnp.ndarray  # (K,) bool
     kf_pyr: Tuple[PyramidLevel, ...]  # per level: fields (K, H_s, W_s)
     kf_ptr: jnp.ndarray       # () int32, newest keyframe slot
     cur_pose: jnp.ndarray     # (6,)
@@ -276,6 +292,13 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     kf_valid = state.kf_valid.at[new_slot].set(True)
     kf_pyr = _update_pyr(state.kf_pyr, new_slot, pyr)
 
+    # record the photometric odometry measurement prev -> new (this is
+    # the tracker's output BEFORE BA touches either pose; it anchors the
+    # odometry-prior factors of the joint BA below)
+    rel_new = lie.se3_compose(G_new, lie.se3_inverse(G_prev))
+    kf_rel = _row_set(state.kf_rel, new_slot, rel_new)
+    kf_rel_valid = state.kf_rel_valid.at[new_slot].set(True)
+
     # a landmark observed by NO keyframe left in the window is
     # unreachable for BA and for re-observation chains — retire it
     # (sliding-window analogue of dead-track compaction,
@@ -322,6 +345,22 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     do_ba = (jnp.sum(kf_valid) >= cfg.min_kf_for_ba) & \
         (jnp.sum(lm_valid) >= cfg.min_lm_for_ba)
 
+    odo = None
+    if cfg.ba_mode == "full" and cfg.odo_prior:
+        # factor k constrains ring slots (k-1)%K -> k.  After the ring
+        # wraps, the OLDEST slot's predecessor-in-slot-order is the
+        # NEWEST slot — that wraparound factor is stale by construction
+        # and must be masked out.
+        pred_valid = jnp.roll(kf_valid, 1)
+        oldest = (new_slot + 1) % K
+        odo = OdoFactors(
+            rel=kf_rel,
+            mask=(kf_rel_valid & kf_valid & pred_valid
+                  & (slots_all != oldest)),
+            w_t=jnp.asarray(1.0 / cfg.odo_sigma_t, kf_rel.dtype),
+            w_r=jnp.asarray(1.0 / cfg.odo_sigma_r, kf_rel.dtype),
+        )
+
     def run_ba(_):
         # low-parallax guards (forward motion makes H_ll near-singular
         # along the rays): per-iteration trust region on the landmark
@@ -333,6 +372,7 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
             per_landmark_accept=(cfg.ba_mode == "structure"),
             damp_min=1e-5,
             lm_eig_floor=cfg.ba_lm_eig_floor,
+            odo=odo,
         )
         return poses, lms
 
@@ -350,6 +390,7 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
         landmarks=landmarks, lm_valid=lm_valid, lm_fail=lm_fail,
         kf_poses=kf_poses, kf_valid=kf_valid,
         kf_obs=kf_obs, kf_obs_mask=kf_obs_mask, kf_pyr=kf_pyr,
+        kf_rel=kf_rel, kf_rel_valid=kf_rel_valid,
         kf_ptr=new_slot, cur_pose=cur_pose,
     )
 
@@ -506,6 +547,10 @@ class VisualOdometry:
             kf_valid=jnp.zeros((K,), bool),
             kf_obs=jnp.zeros((K, L, 2), self.dtype),
             kf_obs_mask=jnp.zeros((K, L), bool),
+            kf_rel=jnp.broadcast_to(
+                jnp.eye(3, 4, dtype=self.dtype), (K, 3, 4)
+            ).copy(),
+            kf_rel_valid=jnp.zeros((K,), bool),
             kf_pyr=kf_pyr,
             kf_ptr=jnp.zeros((), jnp.int32),
             cur_pose=jnp.zeros((6,), self.dtype),

@@ -237,3 +237,81 @@ def test_ba_cg_long_window(rng):
                                        reduced_solver="cg", cg_iters=80)
     assert float(err) < 1e-8, (float(err0), float(err))
     np.testing.assert_allclose(np.asarray(poses), poses_gt, atol=1e-4)
+
+
+def _odo_from(poses, w_t=100.0, w_r=1000.0, drop_first=True):
+    """OdoFactors with rel measured exactly from the given (K, 6) poses."""
+    from invcompcamtrack_tpu.ba.window import OdoFactors
+
+    K = poses.shape[0]
+    G = np.stack([geo.se3_exp(p) for p in np.asarray(poses)])
+    rel = np.zeros((K, 3, 4))
+    for k in range(K):
+        Gp = G[(k - 1) % K]
+        Rp, tp = Gp[:, :3], Gp[:, 3]
+        inv = np.concatenate([Rp.T, (-Rp.T @ tp)[:, None]], 1)
+        R = G[k][:, :3] @ inv[:, :3]
+        t = G[k][:, :3] @ inv[:, 3] + G[k][:, 3]
+        rel[k] = np.concatenate([R, t[:, None]], 1)
+    mask = np.ones(K, bool)
+    if drop_first:
+        mask[0] = False  # ring wraparound factor
+    return OdoFactors(jnp.asarray(rel), jnp.asarray(mask),
+                      jnp.asarray(w_t), jnp.asarray(w_r))
+
+
+def test_ba_odo_prior_zero_at_consistency(rng):
+    """Odometry residuals vanish when poses match the measurements, and
+    a consistent prior does not degrade the noiseless solution."""
+    from invcompcamtrack_tpu.ba.window import odo_residuals
+
+    prob, poses_gt, X_gt = _make_problem(rng)
+    odo = _odo_from(poses_gt)
+    r = odo_residuals(jnp.asarray(poses_gt), odo)
+    assert float(jnp.abs(r).max()) < 1e-10
+    poses, lms, (err, _) = ba_solve(prob, num_iters=15, odo=odo)
+    np.testing.assert_allclose(np.asarray(poses), poses_gt, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lms), X_gt, atol=1e-4)
+
+
+def test_ba_odo_prior_rescues_weak_structure(rng):
+    """With few, noisy observations the reprojection-only solution drifts;
+    accurate odometry factors must pull the poses back toward GT."""
+    prob, poses_gt, X_gt = _make_problem(rng, L=12, noise=1.0,
+                                         perturb_pose=0.02, perturb_lm=0.1,
+                                         drop=0.4)
+    odo = _odo_from(poses_gt)
+    p_no, _, _ = ba_solve(prob, num_iters=10, huber_delta=1.5)
+    p_odo, _, _ = ba_solve(prob, num_iters=10, huber_delta=1.5, odo=odo)
+    e_no = float(np.abs(np.asarray(p_no) - poses_gt).max())
+    e_odo = float(np.abs(np.asarray(p_odo) - poses_gt).max())
+    assert e_odo < e_no, (e_no, e_odo)
+    assert e_odo < 0.005, e_odo
+
+
+def test_ba_odo_prior_cg_matches_dense(rng):
+    prob, poses_gt, X_gt = _make_problem(rng, K=8, L=96, noise=0.1,
+                                         perturb_pose=0.02, perturb_lm=0.08)
+    odo = _odo_from(poses_gt)
+    p_d, _, (e_d, _) = ba_solve(prob, num_iters=8, odo=odo)
+    p_c, _, (e_c, _) = ba_solve(prob, num_iters=8, odo=odo,
+                                reduced_solver="cg", cg_iters=60)
+    np.testing.assert_allclose(np.asarray(p_c), np.asarray(p_d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(float(e_c), float(e_d), rtol=1e-5)
+
+
+def test_ba_odo_prior_masked_factors_inert(rng):
+    """Factors with mask=False must not influence the solve at all —
+    garbage rel measurements behind a False mask are harmless."""
+    prob, poses_gt, X_gt = _make_problem(rng, noise=0.2)
+    odo = _odo_from(poses_gt)
+    bad_rel = jnp.asarray(np.random.default_rng(3).normal(
+        size=odo.rel.shape))
+    odo_off = odo._replace(rel=bad_rel,
+                           mask=jnp.zeros_like(odo.mask))
+    p_ref, l_ref, (e_ref, _) = ba_solve(prob, num_iters=8)
+    p_off, l_off, (e_off, _) = ba_solve(prob, num_iters=8, odo=odo_off)
+    np.testing.assert_allclose(np.asarray(p_off), np.asarray(p_ref),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(float(e_off), float(e_ref), rtol=1e-6)
