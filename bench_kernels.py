@@ -32,6 +32,47 @@ def timeit(fn, *args, reps=50):
     return (time.perf_counter() - t0) / reps * 1e6  # us
 
 
+def bench_collective_latency():
+    """Measured bounds for the analytic ICI model (parallel/model.py).
+
+    Multi-chip hardware is unreachable here, so this measures what one
+    chip CAN measure:
+
+    - ``psum_dispatch_us``: round-trip of a jitted shard_map program
+      whose body is one psum over a 1-device mesh — a lower bound on
+      the per-collective dispatch+launch latency term,
+    - ``hbm_reduce_gbps``: bandwidth of a 64 MB on-chip reduction — the
+      upper bound for any all-reduce's local phase.
+
+    Returns a dict merged into the bench JSON (the model's
+    latency/bandwidth constants become measured, not asserted).
+    """
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), axis_names=("m",))
+
+    @jax.jit
+    @jax.shard_map(mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False)
+    def one_psum(x):
+        return jax.lax.psum(x, "m")
+
+    x_small = jnp.ones((8, 128), jnp.float32)
+    t_psum = timeit(one_psum, x_small, reps=200)
+
+    big = jnp.ones((16 * 1024 * 1024,), jnp.float32)  # 64 MB
+
+    @jax.jit
+    def reduce_big(v):
+        return jnp.sum(v)
+
+    t_red = timeit(reduce_big, big, reps=30)
+    gbps = big.size * 4 / (t_red * 1e-6) / 1e9
+    return {
+        "psum_dispatch_us": round(t_psum, 1),
+        "hbm_reduce_gbps": round(gbps, 1),
+    }
+
+
 def main():
     from invcompcamtrack_tpu.core import lie, pose
     from invcompcamtrack_tpu.image.patch import extract_patches, extract_patches_grad
@@ -138,7 +179,11 @@ def main():
         print(f"{r['kernel']:26s} {r['reference_us']:8.3f} "
               f"{r['tpu_us_at_ref_batch']:14.2f} {r['tpu_us_big_batch']:14.2f} "
               f"{r['tpu_ns_per_item_big']:12.2f}")
-    print(json.dumps({"metric": "kernel_microbench", "results": results}))
+    coll = bench_collective_latency()
+    print(f"collective dispatch latency: {coll['psum_dispatch_us']} us; "
+          f"on-chip reduce bandwidth: {coll['hbm_reduce_gbps']} GB/s")
+    print(json.dumps({"metric": "kernel_microbench", "results": results,
+                      "collective": coll}))
 
 
 if __name__ == "__main__":

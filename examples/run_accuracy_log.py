@@ -112,7 +112,7 @@ def _surface_rms(scene, landmarks, valid):
 
 
 def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
-                 self_init=False, chunk=20, imgs=None):
+                 self_init=False, chunk=20, imgs=None, cfg_overrides=None):
     wh = scene.wh
     tracker = ICGNParams(lv_f=3, lv_l=0, psz=8, maxiter=8, normdp_ratio=0.01)
     window = 5
@@ -121,7 +121,8 @@ def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
                    min_parallax_px=1.0,
                    ba_mode="structure" if ba_mode == "off" else ba_mode,
                    # "off": make the BA gate unreachable
-                   min_kf_for_ba=window + 1 if ba_mode == "off" else 3)
+                   min_kf_for_ba=window + 1 if ba_mode == "off" else 3,
+                   **(cfg_overrides or {}))
     cam = CameraPyramid.create(scene.fc, scene.cc, wh,
                                tracker.num_levels, tracker.psz)
     vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
@@ -224,7 +225,8 @@ def main():
 
     rows = []
     for name, scene, render, sample, path, self_init in seqs:
-        modes = ["structure"] if self_init else ["off", "structure", "full"]
+        modes = ["hybrid"] if self_init else \
+            ["off", "structure", "full", "hybrid"]
         imgs = [render(scene, _exp(p)) for p in path]  # render once per seq
         for mode in modes:
             r = run_sequence(name, scene, render, sample, path, mode,

@@ -116,12 +116,20 @@ def _project_one(p, X, fx, fy, cx, cy):
     return jnp.stack([Xc[0] / Xc[2] * fx + cx, Xc[1] / Xc[2] * fy + cy])
 
 
-def ba_residuals(prob: BAProblem, huber_delta: float | None = None):
+def _psum(x, axis: str | None):
+    return jax.lax.psum(x, axis) if axis is not None else x
+
+
+def ba_residuals(prob: BAProblem, huber_delta: float | None = None,
+                 psum_axis: str | None = None):
     """(K, L, 2) masked residuals obs - proj and the mean cost.
 
     With ``huber_delta`` the cost is the Huber robust loss on the
     per-observation residual norm (quadratic inside delta, linear
     outside); the residual tensor itself is returned unweighted.
+    With ``psum_axis`` (inside shard_map over the landmark axis) the
+    cost numerator/denominator are psum-reduced — the residual tensor
+    stays the local shard.
     """
     proj = jax.vmap(
         lambda p: jax.vmap(
@@ -138,13 +146,14 @@ def ba_residuals(prob: BAProblem, huber_delta: float | None = None):
     raw = jnp.where(prob.mask[..., None], prob.obs - proj, 0.0)
     res = jnp.where(jnp.isfinite(raw), raw,
                     jnp.where(prob.mask[..., None], 1e6, 0.0))
-    cnt = jnp.maximum(jnp.sum(prob.mask), 1)
+    cnt = jnp.maximum(_psum(jnp.sum(prob.mask), psum_axis), 1)
     if huber_delta is None:
-        return res, jnp.sum(res * res) / (2.0 * cnt)
+        return res, _psum(jnp.sum(res * res), psum_axis) / (2.0 * cnt)
     rn = jnp.sqrt(jnp.sum(res * res, axis=-1) + 1e-24)
     rho = jnp.where(rn <= huber_delta, rn * rn,
                     huber_delta * (2.0 * rn - huber_delta))
-    return res, jnp.sum(jnp.where(prob.mask, rho, 0.0)) / (2.0 * cnt)
+    return res, _psum(jnp.sum(jnp.where(prob.mask, rho, 0.0)),
+                      psum_axis) / (2.0 * cnt)
 
 
 def huber_weights(res: jnp.ndarray, mask: jnp.ndarray, delta: float):
@@ -257,7 +266,8 @@ def schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters: int = 32,
 def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
                 reduced_solver: str = "dense", cg_iters: int = 32,
                 lm_eig_floor: float | None = None,
-                odo: OdoFactors | None = None):
+                odo: OdoFactors | None = None,
+                psum_axis: str | None = None):
     """One damped GN step via Schur elimination of the landmarks.
 
     With ``huber_delta``, IRLS reweighting (sqrt-weights folded into the
@@ -292,11 +302,14 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
     # damped diagonal keeps S invertible
     Jp = jnp.where(prob.fixed_pose_mask[:, None, None, None], 0.0, Jp)
 
-    # blocks
-    Hpp = jnp.einsum("klri,klrj->kij", Jp, Jp, precision=_PREC)        # (K,6,6)
+    # blocks — with psum_axis, pose-indexed reductions over the landmark
+    # axis become local partials + one psum of small (K, 6[,6]) tensors
+    Hpp = _psum(jnp.einsum("klri,klrj->kij", Jp, Jp, precision=_PREC),
+                psum_axis)                                             # (K,6,6)
     Hxx = jnp.einsum("klri,klrj->lij", Jx, Jx, precision=_PREC)        # (L,3,3)
     Hpx = jnp.einsum("klri,klrj->klij", Jp, Jx, precision=_PREC)       # (K,L,6,3)
-    bp = jnp.einsum("klri,klr->ki", Jp, res, precision=_PREC)          # (K,6)
+    bp = _psum(jnp.einsum("klri,klr->ki", Jp, res, precision=_PREC),
+               psum_axis)                                              # (K,6)
     bx = jnp.einsum("klri,klr->li", Jx, res, precision=_PREC)          # (L,3)
 
     # Levenberg damping on both diagonals
@@ -321,19 +334,24 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
 
     # Schur complement: S = Hpp - sum_l Hpx Hxx^-1 Hxp
     W = jnp.einsum("klij,ljm->klim", Hpx, Hxx_inv, precision=_PREC)    # (K,L,6,3)
-    rhs = bp - jnp.einsum("klim,lm->ki", W, bx, precision=_PREC)       # (K,6)
+    rhs = bp - _psum(jnp.einsum("klim,lm->ki", W, bx, precision=_PREC),
+                     psum_axis)                                        # (K,6)
     fixed = prob.fixed_pose_mask
 
     H_odo = None
     if odo is not None:
+        # pose-indexed only: computed identically (replicated) on every
+        # landmark shard, added after the psums
         H_odo, b_odo, _ = _odo_system(prob.poses, odo, fixed)
         rhs = rhs + b_odo
 
     if reduced_solver == "cg":
         dpose = schur_cg_solve(Hpp, W, Hpx, fixed, rhs, num_iters=cg_iters,
-                               H_extra=H_odo)
+                               H_extra=H_odo, psum_axis=psum_axis)
     else:
-        S_off = jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC)  # (K,6,K,6)
+        S_off = _psum(
+            jnp.einsum("klim,qljm->kiqj", W, Hpx, precision=_PREC),
+            psum_axis)                                                 # (K,6,K,6)
         S = -S_off
         S = S.at[jnp.arange(K), :, jnp.arange(K), :].add(Hpp)
         if H_odo is not None:
@@ -355,11 +373,11 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
 
 
 def _total_cost(prob: BAProblem, odo: OdoFactors | None,
-                huber_delta: float | None):
+                huber_delta: float | None, psum_axis: str | None = None):
     """(residuals, scalar cost) including the odometry-prior term."""
-    res, err = ba_residuals(prob, huber_delta)
+    res, err = ba_residuals(prob, huber_delta, psum_axis)
     if odo is not None:
-        cnt = jnp.maximum(jnp.sum(prob.mask), 1)
+        cnt = jnp.maximum(_psum(jnp.sum(prob.mask), psum_axis), 1)
         r = odo_residuals(prob.poses, odo)
         err = err + jnp.sum(r * r) / (2.0 * cnt)
     return res, err
@@ -373,7 +391,8 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
              per_landmark_accept: bool = False,
              damp_min: float = 0.0,
              lm_eig_floor: float | None = None,
-             odo: OdoFactors | None = None):
+             odo: OdoFactors | None = None,
+             psum_axis: str | None = None):
     """Levenberg-Marquardt loop with accept/reject on the total error.
 
     ``huber_delta`` (pixels) turns on Huber-robust IRLS weighting —
@@ -397,6 +416,11 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
       landmark costs are evaluated at the candidate poses).
     - ``damp_min``: floor for the Levenberg parameter.
 
+    ``psum_axis``: run inside ``shard_map`` over the LANDMARK axis —
+    landmarks/obs/mask are the local shard, poses are replicated, and
+    every pose-indexed reduction psums over the named axis (see
+    ba/distributed.py for the shard_map wrapper).
+
     Returns (poses, landmarks, info) with info = (final msq, initial msq).
     """
 
@@ -407,7 +431,8 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
                                  reduced_solver=reduced_solver,
                                  cg_iters=cg_iters,
                                  lm_eig_floor=lm_eig_floor,
-                                 odo=odo)
+                                 odo=odo,
+                                 psum_axis=psum_axis)
         if lm_step_clip is not None:
             centers = jax.vmap(lambda p: lie.camera_center(lie.se3_exp(p)))(
                 poses)                                              # (K,3)
@@ -420,7 +445,7 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
                                 / jnp.maximum(dn, 1e-12))
             dlm = dlm * scale[:, None]
         cand = prob._replace(poses=poses + dpose, landmarks=lms + dlm)
-        res_new, err_new = _total_cost(cand, odo, huber_delta)
+        res_new, err_new = _total_cost(cand, odo, huber_delta, psum_axis)
         if per_landmark_accept:
             res_old, _ = ba_residuals(
                 prob._replace(poses=cand.poses, landmarks=lms), huber_delta)
@@ -432,7 +457,8 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
             poses = jnp.where(ok, cand.poses, poses)
             lms = jnp.where(ok_l[:, None], cand.landmarks, lms)
             _, err = _total_cost(
-                prob._replace(poses=poses, landmarks=lms), odo, huber_delta)
+                prob._replace(poses=poses, landmarks=lms), odo, huber_delta,
+                psum_axis)
         else:
             ok = err_new < err
             poses = jnp.where(ok, cand.poses, poses)
@@ -442,7 +468,7 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
                            damp_min)
         return (poses, lms, damp, err), err
 
-    _, err0 = _total_cost(prob, odo, huber_delta)
+    _, err0 = _total_cost(prob, odo, huber_delta, psum_axis)
     (poses, lms, _, err), _ = jax.lax.scan(
         step,
         (prob.poses, prob.landmarks, jnp.asarray(damp_init, prob.poses.dtype), err0),

@@ -43,9 +43,18 @@ def patch_correlation_score(patch_back, patch_ref, patch_fwd,
     with weights zeroed for invalid back/fwd patches, and -1 when the
     reference patch itself is invalid.
     """
-    fb0, fb1 = fb_frames
     corr_br = ncc_score(patch_back, patch_ref)
     corr_rf = ncc_score(patch_ref, patch_fwd)
+    return patch_correlation_combine(corr_br, corr_rf, valid_back,
+                                     valid_ref, valid_fwd, fb_frames)
+
+
+def patch_correlation_combine(corr_br, corr_rf, valid_back, valid_ref,
+                              valid_fwd, fb_frames) -> jnp.ndarray:
+    """fb^2-weighted combination of precomputed pair correlations — the
+    tail of ``patch_correlation_score``, shared with the fused Pallas
+    scorer (ops/ncc_pallas.py)."""
+    fb0, fb1 = fb_frames
     w0 = jnp.where(valid_back, float(fb0 * fb0), 0.0)
     w1 = jnp.where(valid_fwd, float(fb1 * fb1), 0.0)
     denom = jnp.maximum(w0 + w1, NORM_FLOOR)

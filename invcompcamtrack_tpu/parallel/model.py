@@ -56,9 +56,37 @@ def ba_psum_bytes(K: int, lm_iters: int, reduced_solver: str = "dense",
     return lm_iters * per_iter
 
 
-def model_step(bytes_per_step: float, compute_time_s: float) -> CommModel:
+def model_step(bytes_per_step: float, compute_time_s: float,
+               n_collectives: int = 0,
+               latency_per_collective_s: float = 0.0) -> CommModel:
     return CommModel(
         bytes_per_step=bytes_per_step,
-        comm_time_s=bytes_per_step / V5E_ICI_ALLREDUCE_BYTES_PER_S,
+        comm_time_s=(bytes_per_step / V5E_ICI_ALLREDUCE_BYTES_PER_S
+                     + n_collectives * latency_per_collective_s),
         compute_time_s=compute_time_s,
     )
+
+
+def engine_keyframe_psums(K: int, struct_iters: int, joint_iters: int,
+                          reduced_solver: str = "dense", cg_iters: int = 32,
+                          dtype_bytes: int = 4):
+    """Collective traffic of ONE landmark-sharded engine keyframe step
+    (vo/engine.py::_promote_commit with VOConfig.ba_mesh set, hybrid
+    mode): the structure pre-pass + joint phase BA psums, plus the
+    per-iteration scalar cost/count psums of the accept/reject loop.
+
+    Returns (bytes_per_keyframe, n_collectives) — feed ``model_step``
+    with a measured per-collective dispatch latency
+    (bench_kernels.py::bench_collective_latency) for the full model.
+    """
+    iters = struct_iters + joint_iters
+    ba_bytes = ba_psum_bytes(K, iters, reduced_solver, cg_iters, dtype_bytes)
+    # accept/reject cost evaluation: 2 scalars (sum, count) per
+    # candidate evaluation; per-landmark accept adds one more pass
+    cost_evals = 2 * iters + 2
+    scalar_bytes = cost_evals * 2 * dtype_bytes
+    if reduced_solver == "dense":
+        n_coll = iters * 4 + cost_evals
+    else:
+        n_coll = iters * (4 + cg_iters) + cost_evals
+    return ba_bytes + scalar_bytes, n_coll

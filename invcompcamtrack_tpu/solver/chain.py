@@ -118,19 +118,36 @@ def track_nposes(pyramids: Sequence[Pyramid], poses: jnp.ndarray,
 
     # patches: back from the OLDEST image, ref from frame fb0, fwd from
     # the NEWEST image (reference: :293, :300, :308), mean-normalized
-    # (dopatchnorm forced, :281).  extract_patches is batch-native.
-    def patches(pyr, uv):
-        uv = jnp.where(jnp.isfinite(uv), uv, 0.0)
-        return extract_patches(pyr[lvl].img, uv, cfg.psz, cfg.psz,
-                               patch_norm=True)
+    # (dopatchnorm forced, :281).  On TPU the whole score fuses into ONE
+    # Pallas launch (gathers + norms + correlations, ops/ncc_pallas.py);
+    # the XLA path below is its CPU/bit-oracle twin.
+    from invcompcamtrack_tpu.match.ncc import patch_correlation_combine
+    from invcompcamtrack_tpu.ops.ncc_pallas import ncc3_available, ncc3_scores
 
-    pat_back = patches(pyramids[0], uv_back)
-    pat_ref = patches(pyramids[fb0], uv_ref)
-    pat_fwd = patches(pyramids[-1], uv_fwd)
+    img_lvl = pyramids[0][lvl].img
+    if ncc3_available(img_lvl.shape, img_lvl.dtype, cfg.psz):
+        clean = lambda uv: jnp.where(jnp.isfinite(uv), uv, 0.0)
+        corr_br, corr_rf = ncc3_scores(
+            pyramids[0][lvl].img, pyramids[fb0][lvl].img,
+            pyramids[-1][lvl].img,
+            clean(uv_back), clean(uv_ref), clean(uv_fwd),
+            psz=cfg.psz, padding=cfg.psz,
+        )
+        corr = patch_correlation_combine(
+            corr_br, corr_rf, v_back, v_ref, v_fwd, (fb0, fb1))
+    else:
+        def patches(pyr, uv):
+            uv = jnp.where(jnp.isfinite(uv), uv, 0.0)
+            return extract_patches(pyr[lvl].img, uv, cfg.psz, cfg.psz,
+                                   patch_norm=True)
 
-    corr = patch_correlation_score(
-        pat_back, pat_ref, pat_fwd, v_back, v_ref, v_fwd, (fb0, fb1)
-    )
+        pat_back = patches(pyramids[0], uv_back)
+        pat_ref = patches(pyramids[fb0], uv_ref)
+        pat_fwd = patches(pyramids[-1], uv_fwd)
+
+        corr = patch_correlation_score(
+            pat_back, pat_ref, pat_fwd, v_back, v_ref, v_fwd, (fb0, fb1)
+        )
     corr = jnp.where(inlier_masks, corr, -1.0)
 
     m = inlier_masks.astype(corr.dtype)

@@ -82,8 +82,14 @@ class VOConfig:
     max_obs_fail: int = 2        # consecutive failures before retirement
     min_kf_for_ba: int = 3
     min_lm_for_ba: int = 12
-    ba_mode: str = "structure"   # "structure": poses fixed, refine points;
-    #                              "full": joint pose+point window BA
+    ba_mode: str = "hybrid"      # "structure": poses fixed, refine points;
+    #                              "full": joint pose+point window BA;
+    #                              "hybrid" (default): structure refinement
+    #                              pre-pass (exact per-landmark accept), then
+    #                              joint BA with odometry priors — map
+    #                              quality from the structure phase, drift
+    #                              repair from the joint phase
+    ba_struct_iters: int = 4     # hybrid: iterations of the structure pre-pass
     ba_lm_step_clip: float = 0.1  # per-BA-iteration landmark trust region,
     #                               fraction of distance to nearest camera
     ba_lm_eig_floor: float = 5e-3  # spectral observability cutoff on H_ll:
@@ -96,6 +102,10 @@ class VOConfig:
     #   quality when the window's structure is weak/young
     odo_sigma_t: float = 0.01    # odometry 1-sigma translation (world units)
     odo_sigma_r: float = 0.001   # odometry 1-sigma rotation (radians)
+    ba_mesh: object = None       # jax.sharding.Mesh: run the window BA
+    #   landmark-sharded over `ba_mesh_axis` (ba/distributed.py wrapper
+    #   around the same ba_solve).  max_landmarks must divide evenly.
+    ba_mesh_axis: str = "model"
 
 
 class VOState(NamedTuple):
@@ -174,32 +184,48 @@ def _track_frame(state: VOState, pyr: Pyramid, cam: CameraPyramid,
                       point_mask=vis)
 
 
-def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
-             cfg: VOConfig) -> VOState:
-    """Fused keyframe promotion: measured re-observation of the map,
-    corner triangulation into free slots, ring eviction, windowed BA."""
-    cfgt = cfg.tracker
-    K = cfg.window
-    fx, fy, cx, cy, swo, sho = cam.level(0)
-    fc2 = jnp.stack([fx, fy])
-    cc2 = jnp.stack([cx, cy])
+class _ReobsOut(NamedTuple):
+    """Stage boundary: re-observation results (promote part 1)."""
 
+    xy_meas: jnp.ndarray   # (L, 2) measured LK positions in the new kf
+    reobs: jnp.ndarray     # (L,) bool: landmark successfully re-observed
+    lm_fail: jnp.ndarray   # (L,) int32 updated failure counters
+    lm_valid: jnp.ndarray  # (L,) bool after lifecycle retirement
+
+
+class _TriOut(NamedTuple):
+    """Stage boundary: triangulation results (promote part 2)."""
+
+    landmarks: jnp.ndarray     # (L, 3) with new seeds scattered in
+    lm_valid: jnp.ndarray      # (L,) bool
+    lm_fail: jnp.ndarray       # (L,) int32
+    old_slot: jnp.ndarray      # () int32: founding partner keyframe slot
+    old_obs: jnp.ndarray       # (L, 2) partner row incl. founding obs
+    old_obs_mask: jnp.ndarray  # (L,)
+    new_obs: jnp.ndarray       # (L, 2) new keyframe's observation row
+    new_obs_mask: jnp.ndarray  # (L,)
+
+
+def _promote_reobserve(state: VOState, pyr: Pyramid, p_new,
+                       cam: CameraPyramid, cfg: VOConfig) -> _ReobsOut:
+    """Promote part 1: measured re-observation of existing landmarks.
+
+    LK-track each landmark's patch from its measured position in the
+    previous keyframe into the new keyframe, seeded at the predicted
+    reprojection; the record is the MEASURED position, so BA anchors
+    to pixels (the reference scores against measured correspondences
+    the same way, run_test_OF_track.py:386-411).
+    """
+    cfgt = cfg.tracker
+    fx, fy, cx, cy, swo, sho = cam.level(0)
     prev = state.kf_ptr
-    new_slot = (prev + 1) % K
     prev_pyr = _index_pyr(state.kf_pyr, prev)
     prev_pose = _row_get(state.kf_poses, prev)
     prev_obs = _row_get(state.kf_obs, prev)
     prev_obs_mask = _row_get(state.kf_obs_mask, prev)
-
     G_prev = lie.se3_exp(prev_pose)
     G_new = lie.se3_exp(p_new)
 
-    # ---- (1) measured re-observation of existing landmarks ----
-    # LK-track each landmark's patch from its measured position in the
-    # previous keyframe into the new keyframe, seeded at the predicted
-    # reprojection; the record is the MEASURED position, so BA anchors
-    # to pixels (the reference scores against measured correspondences
-    # the same way, run_test_OF_track.py:386-411).
     proj_prev = pose_ops.project_points(G_prev, state.landmarks, fx, fy, cx, cy)
     proj_new = pose_ops.project_points(G_new, state.landmarks, fx, fy, cx, cy)
     proj_prev = jnp.where(jnp.isfinite(proj_prev), proj_prev, 0.0)
@@ -221,8 +247,25 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     lm_fail = jnp.where(reobs, 0,
                         jnp.where(expected, state.lm_fail + 1, state.lm_fail))
     lm_valid = state.lm_valid & (lm_fail < cfg.max_obs_fail)
+    return _ReobsOut(xy_meas=xy_meas, reobs=reobs, lm_fail=lm_fail,
+                     lm_valid=lm_valid)
 
-    # ---- (2) triangulate new landmarks from measured corner tracks ----
+
+def _promote_triangulate(state: VOState, pyr: Pyramid, p_new,
+                         cam: CameraPyramid, cfg: VOConfig,
+                         ro: _ReobsOut) -> _TriOut:
+    """Promote part 2: triangulate new landmarks from measured corner
+    tracks into free slots."""
+    cfgt = cfg.tracker
+    K = cfg.window
+    fx, fy, cx, cy, swo, sho = cam.level(0)
+    fc2 = jnp.stack([fx, fy])
+    cc2 = jnp.stack([cx, cy])
+    prev = state.kf_ptr
+    new_slot = (prev + 1) % K
+    G_new = lie.se3_exp(p_new)
+    lm_valid, lm_fail = ro.lm_valid, ro.lm_fail
+
     # Partner = the OLDEST valid keyframe in the window: the longest
     # available baseline.  Short-baseline 2-view triangulations have
     # depth errors ~ z^2/(f b) that corrupt tracking before BA can fix
@@ -280,8 +323,31 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     take_c = jnp.clip(take, 0, nc - 1)
     old_obs = jnp.where(seeded[:, None], jnp.take(xy0, take_c, axis=0), old_obs)
     old_obs_mask = old_obs_mask | seeded
-    new_obs = jnp.where(seeded[:, None], jnp.take(xy1, take_c, axis=0), xy_meas)
-    new_obs_mask = reobs | seeded
+    new_obs = jnp.where(seeded[:, None], jnp.take(xy1, take_c, axis=0),
+                        ro.xy_meas)
+    new_obs_mask = ro.reobs | seeded
+    return _TriOut(landmarks=landmarks, lm_valid=lm_valid, lm_fail=lm_fail,
+                   old_slot=old_slot, old_obs=old_obs,
+                   old_obs_mask=old_obs_mask, new_obs=new_obs,
+                   new_obs_mask=new_obs_mask)
+
+
+def _promote_commit(state: VOState, pyr: Pyramid, p_new,
+                    cam: CameraPyramid, cfg: VOConfig,
+                    tri: _TriOut) -> VOState:
+    """Promote parts 3-4: ring write, gross-outlier gating, windowed BA,
+    post-BA retirement."""
+    K = cfg.window
+    fx, fy, cx, cy, _, _ = cam.level(0)
+    prev = state.kf_ptr
+    new_slot = (prev + 1) % K
+    prev_pose = _row_get(state.kf_poses, prev)
+    G_prev = lie.se3_exp(prev_pose)
+    G_new = lie.se3_exp(p_new)
+    slots_all = jnp.arange(K)
+    landmarks, lm_valid, lm_fail = tri.landmarks, tri.lm_valid, tri.lm_fail
+    old_slot, old_obs, old_obs_mask = tri.old_slot, tri.old_obs, tri.old_obs_mask
+    new_obs, new_obs_mask = tri.new_obs, tri.new_obs_mask
 
     # ---- (3) ring write: evict new_slot, record the keyframe ----
     kf_obs = _row_set(state.kf_obs, old_slot, old_obs)
@@ -308,20 +374,19 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
 
     # ---- (4) windowed BA on the measured observation grid ----
     if cfg.ba_mode == "structure":
-        # structure-only refinement (the engine default): every pose is
-        # held fixed; BA polishes the LANDMARKS against the measured
-        # observation grid.  Pose accuracy comes from the photometric
-        # IC-GN odometer, which on its own tracks at ~1e-4 error when the
-        # map is good — the same division of labor as the reference,
-        # whose accuracy log improves ~10x by refining *points*, not
-        # poses (reference: misc_src/pose_tracking_acc.txt:1-57,
-        # triang.c refinement entry points).
+        # structure-only refinement: every pose is held fixed; BA
+        # polishes the LANDMARKS against the measured observation grid.
+        # Pose accuracy comes from the photometric IC-GN odometer, which
+        # on its own tracks at ~1e-4 error when the map is good — the
+        # same division of labor as the reference, whose accuracy log
+        # improves ~10x by refining *points*, not poses (reference:
+        # misc_src/pose_tracking_acc.txt:1-57, triang.c entry points).
         fixed = jnp.ones((K,), bool)
     else:
-        # joint mode gauge: the two OLDEST valid keyframes anchor the
-        # window; every newer pose floats, so BA can repair drift before
-        # a pose ages into the anchor set (invalid slots count as fixed
-        # — diagonal boost in S)
+        # joint-phase gauge ("full"/"hybrid"): the two OLDEST valid
+        # keyframes anchor the window; every newer pose floats, so BA
+        # can repair drift before a pose ages into the anchor set
+        # (invalid slots count as fixed — diagonal boost in S)
         slots = jnp.arange(K)
         ages = jnp.where(kf_valid, (new_slot - slots) % K, -1)
         oldest2 = jax.lax.top_k(ages, 2)[0][-1]
@@ -346,7 +411,7 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
         (jnp.sum(lm_valid) >= cfg.min_lm_for_ba)
 
     odo = None
-    if cfg.ba_mode == "full" and cfg.odo_prior:
+    if cfg.ba_mode in ("full", "hybrid") and cfg.odo_prior:
         # factor k constrains ring slots (k-1)%K -> k.  After the ring
         # wraps, the OLDEST slot's predecessor-in-slot-order is the
         # NEWEST slot — that wraparound factor is stale by construction
@@ -361,19 +426,48 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
             w_r=jnp.asarray(1.0 / cfg.odo_sigma_r, kf_rel.dtype),
         )
 
+    if cfg.ba_mesh is not None:
+        # landmark-sharded window BA over the configured mesh — the SAME
+        # ba_solve, run inside shard_map with psum'd pose reductions
+        # (ba/distributed.py); everything else in the step is replicated
+        from invcompcamtrack_tpu.ba.distributed import ba_solve_sharded
+
+        def _ba(pr, **kw):
+            return ba_solve_sharded(pr, cfg.ba_mesh, axis=cfg.ba_mesh_axis,
+                                    **kw)
+    else:
+        _ba = ba_solve
+
     def run_ba(_):
         # low-parallax guards (forward motion makes H_ll near-singular
         # along the rays): per-iteration trust region on the landmark
-        # step, damping floor, and — in the separable structure-only
-        # mode — exact per-landmark accept/reject.
-        poses, lms, _ = ba_solve(
-            prob, num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
-            lm_step_clip=cfg.ba_lm_step_clip,
-            per_landmark_accept=(cfg.ba_mode == "structure"),
-            damp_min=1e-5,
-            lm_eig_floor=cfg.ba_lm_eig_floor,
-            odo=odo,
-        )
+        # step, damping floor, and — when poses are held fixed (the
+        # structure problem is separable) — exact per-landmark
+        # accept/reject.
+        poses, lms = prob.poses, prob.landmarks
+        if cfg.ba_mode in ("structure", "hybrid"):
+            # structure phase: all poses fixed, refine the map only
+            n_s = cfg.ba_struct_iters if cfg.ba_mode == "hybrid" \
+                else cfg.ba_iters
+            _, lms, _ = _ba(
+                prob._replace(fixed_pose_mask=jnp.ones((K,), bool)),
+                num_iters=n_s, huber_delta=cfg.huber_px,
+                lm_step_clip=cfg.ba_lm_step_clip,
+                per_landmark_accept=True,
+                damp_min=1e-5,
+                lm_eig_floor=cfg.ba_lm_eig_floor,
+            )
+        if cfg.ba_mode in ("full", "hybrid"):
+            # joint phase: poses + landmarks, odometry-prior fused
+            poses, lms, _ = _ba(
+                prob._replace(landmarks=lms),
+                num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
+                lm_step_clip=cfg.ba_lm_step_clip,
+                per_landmark_accept=False,
+                damp_min=1e-5,
+                lm_eig_floor=cfg.ba_lm_eig_floor,
+                odo=odo,
+            )
         return poses, lms
 
     kf_poses, landmarks = jax.lax.cond(
@@ -393,6 +487,19 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
         kf_rel=kf_rel, kf_rel_valid=kf_rel_valid,
         kf_ptr=new_slot, cur_pose=cur_pose,
     )
+
+
+def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
+             cfg: VOConfig) -> VOState:
+    """Fused keyframe promotion: measured re-observation of the map,
+    corner triangulation into free slots, ring eviction, windowed BA.
+
+    Composed of three sub-stages so the pipeline-parallel engine
+    (parallel/vo_pipeline.py) can place them on separate devices while
+    staying parity-by-construction with this fused path."""
+    ro = _promote_reobserve(state, pyr, p_new, cam, cfg)
+    tri = _promote_triangulate(state, pyr, p_new, cam, cfg, ro)
+    return _promote_commit(state, pyr, p_new, cam, cfg, tri)
 
 
 def _track_step(state: VOState, img, cam: CameraPyramid, cfg: VOConfig):
@@ -459,6 +566,35 @@ def _fill_slots(landmarks, lm_valid, candidates, cand_valid):
     seed_X = jnp.take(candidates, jnp.clip(take, 0, K - 1), axis=0)
     landmarks = jnp.where(seeded[:, None], seed_X.astype(landmarks.dtype), landmarks)
     return landmarks, lm_valid | seeded, seeded, take
+
+
+def make_empty_state(cfg: VOConfig, wh, dtype=jnp.float32) -> VOState:
+    """A zeroed fixed-shape VOState for image size ``wh`` = (W, H)."""
+    L = cfg.max_landmarks
+    K = cfg.window
+    cfgt = cfg.tracker
+    zero_img = jnp.zeros((int(wh[1]), int(wh[0])), dtype)
+    pyr0 = build_pyramid(zero_img, cfgt.num_levels, cfgt.psz)
+    kf_pyr = jax.tree.map(
+        lambda a: jnp.zeros((K,) + a.shape, a.dtype), tuple(pyr0)
+    )
+    return VOState(
+        landmarks=jnp.zeros((L, 3), dtype),
+        lm_valid=jnp.zeros((L,), bool),
+        lm_fail=jnp.zeros((L,), jnp.int32),
+        kf_poses=jnp.zeros((K, 6), dtype),
+        kf_valid=jnp.zeros((K,), bool),
+        kf_obs=jnp.zeros((K, L, 2), dtype),
+        kf_obs_mask=jnp.zeros((K, L), bool),
+        kf_rel=jnp.broadcast_to(
+            jnp.eye(3, 4, dtype=dtype), (K, 3, 4)
+        ).copy(),
+        kf_rel_valid=jnp.zeros((K,), bool),
+        kf_pyr=kf_pyr,
+        kf_ptr=jnp.zeros((), jnp.int32),
+        cur_pose=jnp.zeros((6,), dtype),
+        frame_idx=jnp.zeros((), jnp.int32),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -531,31 +667,7 @@ class VisualOdometry:
     # ---------- internals ----------
 
     def _empty_state(self, wh) -> VOState:
-        L = self.cfg.max_landmarks
-        K = self.cfg.window
-        cfgt = self.cfg.tracker
-        zero_img = jnp.zeros((int(wh[1]), int(wh[0])), self.dtype)
-        pyr0 = build_pyramid(zero_img, cfgt.num_levels, cfgt.psz)
-        kf_pyr = jax.tree.map(
-            lambda a: jnp.zeros((K,) + a.shape, a.dtype), tuple(pyr0)
-        )
-        return VOState(
-            landmarks=jnp.zeros((L, 3), self.dtype),
-            lm_valid=jnp.zeros((L,), bool),
-            lm_fail=jnp.zeros((L,), jnp.int32),
-            kf_poses=jnp.zeros((K, 6), self.dtype),
-            kf_valid=jnp.zeros((K,), bool),
-            kf_obs=jnp.zeros((K, L, 2), self.dtype),
-            kf_obs_mask=jnp.zeros((K, L), bool),
-            kf_rel=jnp.broadcast_to(
-                jnp.eye(3, 4, dtype=self.dtype), (K, 3, 4)
-            ).copy(),
-            kf_rel_valid=jnp.zeros((K,), bool),
-            kf_pyr=kf_pyr,
-            kf_ptr=jnp.zeros((), jnp.int32),
-            cur_pose=jnp.zeros((6,), self.dtype),
-            frame_idx=jnp.zeros((), jnp.int32),
-        )
+        return make_empty_state(self.cfg, wh, self.dtype)
 
     def _append_center(self, pose):
         c = np.asarray(lie.camera_center(lie.se3_exp(pose)))

@@ -206,3 +206,57 @@ def sample_corridor_points(scene: CorridorScene, rng: np.random.Generator,
                       np.ones(n)], axis=-1)
     _, _, X = _corridor_hits(scene, c, d_cam @ R)
     return X
+
+
+def degrade(img: np.ndarray, rng: np.random.Generator,
+            noise_sigma: float = 0.0,
+            exposure_gain: float = 1.0,
+            exposure_bias: float = 0.0,
+            blur_sigma: float = 0.0) -> np.ndarray:
+    """Sensor-degradation model for robustness studies.
+
+    The reference operates on real photographs throughout (reference:
+    run_ransac_test.m:58-121, misc_src/run_test_OF_track.py); the
+    exactly-rendered fixtures here are noise-free, so this applies the
+    three dominant real-sensor effects in physical order:
+
+    1. optical blur — separable Gaussian PSF of std ``blur_sigma`` px,
+    2. exposure drift — ``gain * img + bias`` (auto-exposure/vignetting
+       drift between frames; what ``dopatchnorm`` exists to absorb),
+    3. sensor noise — additive iid Gaussian, std ``noise_sigma`` gray
+       levels (read+shot noise of a mid-range sensor at gain).
+    """
+    out = np.asarray(img, np.float64)
+    if blur_sigma > 0.0:
+        rad = max(1, int(np.ceil(3.0 * blur_sigma)))
+        xs = np.arange(-rad, rad + 1, dtype=np.float64)
+        k = np.exp(-0.5 * (xs / blur_sigma) ** 2)
+        k /= k.sum()
+        pad = np.pad(out, ((rad, rad), (rad, rad)), mode="edge")
+        out = np.apply_along_axis(
+            lambda r: np.convolve(r, k, "valid"), 1, pad)
+        out = np.apply_along_axis(
+            lambda c: np.convolve(c, k, "valid"), 0, out)
+    out = exposure_gain * out + exposure_bias
+    if noise_sigma > 0.0:
+        out = out + rng.normal(scale=noise_sigma, size=out.shape)
+    return out
+
+
+def degrade_sequence(imgs, rng: np.random.Generator,
+                     noise_sigma: float = 0.0,
+                     exposure_drift: float = 0.0,
+                     blur_sigma: float = 0.0):
+    """Apply per-frame degradations with a slowly DRIFTING exposure:
+    gain oscillates by ``±exposure_drift`` (fractional) and bias by
+    ``±16*exposure_drift`` gray levels over a ~40-frame period, so
+    consecutive frames see a changing photometric transform — the
+    auto-exposure behavior of real cameras."""
+    out = []
+    for i, img in enumerate(imgs):
+        gain = 1.0 + exposure_drift * np.sin(2 * np.pi * i / 40.0)
+        bias = 16.0 * exposure_drift * np.sin(2 * np.pi * i / 37.0 + 1.0)
+        out.append(degrade(img, rng, noise_sigma=noise_sigma,
+                           exposure_gain=gain, exposure_bias=bias,
+                           blur_sigma=blur_sigma))
+    return out

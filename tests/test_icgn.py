@@ -174,3 +174,36 @@ def test_window_cache_matches_direct_gather(rng):
     p_on = np.asarray(track_pose(pyr_ref, pyr_new, jnp.asarray(X), p0, cam, cfg_on))
     p_off = np.asarray(track_pose(pyr_ref, pyr_new, jnp.asarray(X), p0, cam, cfg_off))
     np.testing.assert_allclose(p_on, p_off, rtol=0, atol=0)
+
+
+def test_dopatchnorm_rescues_exposure_drift(rng):
+    """The degradation harness's exposure model vs the reference's
+    countermeasure: under a gain+bias photometric change between frames
+    (vo/synthetic.py::degrade), patch mean-normalization (dopatchnorm,
+    reference: utilities.cpp:111-112) must keep the tracker accurate,
+    and must beat the unnormalized tracker decisively."""
+    scene, p_gt, img_ref, img_new, X, cfg, cam = _setup(rng)
+    img_new_deg = synthetic.degrade(
+        img_new, np.random.default_rng(3),
+        exposure_gain=1.2, exposure_bias=12.0, noise_sigma=1.0)
+
+    pyr_ref = build_pyramid(jnp.asarray(img_ref), cfg.num_levels, cfg.psz)
+    pyr_deg = build_pyramid(jnp.asarray(img_new_deg), cfg.num_levels, cfg.psz)
+    p0 = jnp.zeros(6, jnp.float64)
+
+    errs = {}
+    for pn in (False, True):
+        cfg_pn = ICGNParams(lv_f=cfg.lv_f, lv_l=0, psz=8, maxiter=10,
+                            normdp_ratio=0.01, donorm=True, dopatchnorm=pn)
+        p_res = np.asarray(track_pose(pyr_ref, pyr_deg, jnp.asarray(X), p0,
+                                      cam, cfg_pn))
+        errs[pn], _ = _pose_err(p_res, p_gt)
+
+    err_t0, _ = _pose_err(np.zeros(6), p_gt)
+    # normalized tracking still recovers most of the initial error
+    # (mean subtraction absorbs the bias fully and the gain's effect on
+    # the patch mean; the gain's CONTRAST change remains — the
+    # reference's dopatchnorm is mean-only too)...
+    assert errs[True] < err_t0 * 0.5, (errs, err_t0)
+    # ...and is markedly better than unnormalized
+    assert errs[True] < errs[False] * 0.5, errs

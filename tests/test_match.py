@@ -180,3 +180,35 @@ def test_lk_forward_backward_gate(rng):
     assert v.mean() > 0.6
     err = np.linalg.norm(np.asarray(got)[v] - uv_b[v], axis=1)
     assert np.median(err) < 0.25
+
+
+def test_ncc3_fused_kernel_matches_xla_path(rng):
+    """The fused Pallas verification scorer (ops/ncc_pallas.py,
+    interpret mode on CPU) must match the XLA
+    extract_patches+ncc_score path bit-for-bit in its math."""
+    import jax.numpy as jnp
+    from invcompcamtrack_tpu.image.patch import extract_patches
+    from invcompcamtrack_tpu.match.ncc import ncc_score
+    from invcompcamtrack_tpu.ops.ncc_pallas import ncc3_scores
+
+    psz, pad = 8, 8
+    H, W = 96, 144
+    imgs = [jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+            for _ in range(3)]
+    n = 37
+    uvs = [jnp.asarray(
+        np.c_[rng.uniform(pad + 6, W - pad - 6, n) - pad,
+              rng.uniform(pad + 6, H - pad - 6, n) - pad], jnp.float32)
+        for _ in range(3)]
+
+    cbr, crf = ncc3_scores(*imgs, *uvs, psz=psz, padding=pad,
+                           interpret=True)
+
+    pats = [extract_patches(im, uv, psz, pad, patch_norm=True)
+            for im, uv in zip(imgs, uvs)]
+    cbr_x = ncc_score(pats[0], pats[1])
+    crf_x = ncc_score(pats[1], pats[2])
+    np.testing.assert_allclose(np.asarray(cbr), np.asarray(cbr_x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(crf), np.asarray(crf_x),
+                               atol=1e-6)

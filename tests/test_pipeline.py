@@ -76,3 +76,68 @@ def test_pipeline_stage_count_mismatch():
     mesh = _mesh(4)
     with pytest.raises(ValueError):
         pipeline_run([lambda x: x] * 3, jnp.zeros((2, 8)), mesh)
+
+
+def test_vo_real_chain_pipeline_matches_sequential_engine(rng):
+    """THE real-chain PP test: four independent VO streams round-robined
+    through the 4-stage ring (pyramid+track / re-observe / triangulate /
+    BA+commit — the engine's own sub-stage functions) must reproduce
+    each stream's sequential ``VisualOdometry`` trajectory and final
+    landmark map.  Tolerance is float32 re-fusion noise only: the stages
+    compute the same ops on the same values."""
+    from invcompcamtrack_tpu.config import ICGNParams
+    from invcompcamtrack_tpu.core.camera import CameraPyramid
+    from invcompcamtrack_tpu.parallel.vo_pipeline import (
+        make_vo_pipeline, pp_ring_bytes_per_step, vo_pipeline_run)
+    from invcompcamtrack_tpu.vo import synthetic
+    from invcompcamtrack_tpu.vo.engine import VisualOdometry, VOConfig
+    from tests.oracles import geometry_np as geo
+
+    mesh = _mesh(4)
+    wh = (128, 96)
+    n_win = 4          # keyframe steps per stream after bootstrap
+    tracker = ICGNParams(lv_f=2, lv_l=0, psz=8, maxiter=6)
+    cfg = VOConfig(tracker=tracker, max_landmarks=64, window=3,
+                   keyframe_stride=1, corners_per_kf=64,
+                   min_parallax_px=0.5)
+    scene = synthetic.make_scene(rng, wh=wh, fc=(110.0, 112.0))
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh,
+                               tracker.num_levels, tracker.psz)
+
+    # four streams: same scene, four distinct camera paths
+    streams = []
+    for r in range(4):
+        rr = np.random.default_rng(100 + r)
+        poses = [np.zeros(6)]
+        for _ in range(1, n_win + 2):
+            poses.append(poses[-1] + np.r_[rr.normal(size=3) * 0.015,
+                                           rr.normal(size=3) * 0.004])
+        poses = np.stack(poses)
+        imgs = [synthetic.render(scene, geo.se3_exp(p)) for p in poses]
+        streams.append((poses, imgs))
+
+    # sequential oracle: each stream through the ordinary engine
+    seq_poses, init_states, frames = [], [], []
+    for r, (poses_gt, imgs) in enumerate(streams):
+        vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
+        seeds = synthetic.sample_plane_points(
+            scene, np.random.default_rng(7), 60, margin=16)
+        vo.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+        init_states.append(vo.state)
+        frames.append(np.stack(imgs[2:2 + n_win]))
+        seq_poses.append(np.stack(
+            [vo.process_frame(imgs[2 + w]) for w in range(n_win)]))
+    seq_poses = np.stack(seq_poses)
+    seq_final_lms = np.asarray(vo.landmarks)      # stream 3's final map
+    seq_final_valid = np.asarray(vo.lm_valid)
+
+    spec = make_vo_pipeline(cam, cfg, wh)
+    pp_poses, finals = vo_pipeline_run(
+        spec, init_states, np.stack(frames), mesh)
+
+    np.testing.assert_allclose(np.asarray(pp_poses), seq_poses, atol=2e-5)
+    # stream 3's final state: landmark table parity
+    np.testing.assert_allclose(np.asarray(finals[3].landmarks),
+                               seq_final_lms, atol=2e-4)
+    assert np.array_equal(np.asarray(finals[3].lm_valid), seq_final_valid)
+    assert pp_ring_bytes_per_step(spec) > 0

@@ -285,3 +285,37 @@ def test_vo_landmark_lifecycle_turnover(rng):
     assert turned_over > 10, f"only {turned_over} slots turned over"
     # ... and the map stayed healthy on the freed capacity
     assert int(valid1.sum()) > 30, int(valid1.sum())
+
+
+def test_vo_engine_landmark_sharded_ba_parity(rng):
+    """The engine's mesh-sharded window BA (VOConfig.ba_mesh — the
+    landmark axis of every keyframe's BA runs shard_map'd over 4 CPU
+    devices with psum'd pose reductions) must reproduce the
+    single-device trajectory to float tolerance."""
+    import jax
+    from jax.sharding import Mesh
+
+    n_frames = 10
+    scene, poses_gt, imgs, vo_a = _small_setup(rng, n_frames)
+    _, _, _, _ = scene, poses_gt, imgs, vo_a
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), axis_names=("model",))
+    tracker = ICGNParams(lv_f=2, lv_l=0, psz=8, maxiter=6)
+    cfg_sh = VOConfig(tracker=tracker, max_landmarks=128, window=4,
+                      keyframe_stride=2, corners_per_kf=128,
+                      min_parallax_px=0.5, ba_mesh=mesh)
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh,
+                               tracker.num_levels, tracker.psz)
+    vo_b = VisualOdometry(cam, scene.fc, scene.cc, cfg_sh)
+
+    seeds = synthetic.sample_plane_points(scene, rng, 100, margin=20)
+    vo_a.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+    vo_b.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+
+    poses_a = [vo_a.process_frame(imgs[i]) for i in range(2, n_frames)]
+    poses_b = [vo_b.process_frame(imgs[i]) for i in range(2, n_frames)]
+    # psum reduction order differs from the single-device einsum order,
+    # so agreement is float-tolerance, not bitwise
+    np.testing.assert_allclose(np.stack(poses_a), np.stack(poses_b),
+                               atol=5e-4)
+    assert int(vo_b.lm_valid.sum()) > 50
