@@ -112,17 +112,19 @@ def _surface_rms(scene, landmarks, valid):
 
 
 def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
-                 self_init=False, chunk=20, imgs=None, cfg_overrides=None):
+                 self_init=False, chunk=20, imgs=None, cfg_overrides=None,
+                 seed_noise=0.0, seed_noise_mode="absolute"):
     wh = scene.wh
     tracker = ICGNParams(lv_f=3, lv_l=0, psz=8, maxiter=8, normdp_ratio=0.01)
     window = 5
-    cfg = VOConfig(tracker=tracker, max_landmarks=512, window=window,
-                   keyframe_stride=2, corners_per_kf=512,
-                   min_parallax_px=1.0,
-                   ba_mode="structure" if ba_mode == "off" else ba_mode,
-                   # "off": make the BA gate unreachable
-                   min_kf_for_ba=window + 1 if ba_mode == "off" else 3,
-                   **(cfg_overrides or {}))
+    base = dict(tracker=tracker, max_landmarks=512, window=window,
+                keyframe_stride=2, corners_per_kf=512,
+                min_parallax_px=1.0,
+                ba_mode="structure" if ba_mode == "off" else ba_mode,
+                # "off": make the BA gate unreachable
+                min_kf_for_ba=window + 1 if ba_mode == "off" else 3)
+    base.update(cfg_overrides or {})
+    cfg = VOConfig(**base)
     cam = CameraPyramid.create(scene.fc, scene.cc, wh,
                                tracker.num_levels, tracker.psz)
     vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
@@ -138,6 +140,22 @@ def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
         vo.bootstrap_from_images(imgs[0], imgs[1])
     else:
         seeds = sample_pts(scene, rng, 400)
+        if seed_noise > 0.0:
+            # the reference's refinement scenario: the 3D map the
+            # tracker is given is NOISY; tracking without refinement
+            # degrades, point refinement repairs what the window
+            # geometry makes observable (reference:
+            # misc_src/pose_tracking_acc.txt:1-26).  "absolute" =
+            # isotropic sigma in world units; "depth" = relative error
+            # along the founding view rays (triangulation-shaped,
+            # invisible in frame 0).
+            if seed_noise_mode == "depth":
+                G0 = _exp(poses_gt[0])
+                c0 = -G0[:, :3].T @ G0[:, 3]
+                eta = rng.normal(size=(seeds.shape[0], 1)) * seed_noise
+                seeds = c0 + (seeds - c0) * (1.0 + eta)
+            else:
+                seeds = seeds + rng.normal(size=seeds.shape) * seed_noise
         vo.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
 
     poses_est = [np.asarray(poses_gt[0], np.float32),
@@ -211,26 +229,42 @@ def main():
     plane = synthetic.make_scene(rng, wh=(640, 480), fc=(520.0, 525.0),
                                  z0=8.0, freq_range=(0.5, 6.0))
 
+    # the reference's own refinement scenario: a FIXED noisy map — no
+    # new triangulations, no retirement; the map can only improve
+    # through point refinement (reference: misc_src/pose_tracking_acc
+    # .txt "without / with 3d point position refinement")
+    fixedmap_ov = {"min_parallax_px": 1e9, "max_obs_fail": 10 ** 6,
+                   "reobs_gate_px": 8.0}  # FIXED map: refinement A/B only
     seqs = [
         ("corridor-fwd", corridor, synthetic.render_corridor,
-         synthetic.sample_corridor_points, path_corridor_fwd(200 // q), False),
+         synthetic.sample_corridor_points, path_corridor_fwd(200 // q),
+         False, 0.0, None, None),
         ("corridor-turn", corridor, synthetic.render_corridor,
-         synthetic.sample_corridor_points, path_corridor_turn(120 // q), False),
+         synthetic.sample_corridor_points, path_corridor_turn(120 // q),
+         False, 0.0, None, None),
         ("plane-sweep", plane, synthetic.render,
          lambda s, r, n: synthetic.sample_plane_points(s, r, n, margin=24),
-         path_plane_sweep(160 // q), False),
+         path_plane_sweep(160 // q), False, 0.0, None, None),
+        ("corridor-noisymap", corridor, synthetic.render_corridor,
+         synthetic.sample_corridor_points, path_corridor_fwd(200 // q),
+         False, 0.25, fixedmap_ov, ["off", "structure"]),
         ("corridor-selfinit", corridor, synthetic.render_corridor,
-         synthetic.sample_corridor_points, path_corridor_fwd(100 // q), True),
+         synthetic.sample_corridor_points, path_corridor_fwd(100 // q),
+         True, 0.0, None, None),
     ]
 
     rows = []
-    for name, scene, render, sample, path, self_init in seqs:
-        modes = ["hybrid"] if self_init else \
-            ["off", "structure", "full", "hybrid"]
+    for (name, scene, render, sample, path, self_init, seed_noise,
+         overrides, mode_list) in seqs:
+        modes = mode_list if mode_list else (
+            ["hybrid"] if self_init else
+            ["off", "structure", "full", "hybrid"])
         imgs = [render(scene, _exp(p)) for p in path]  # render once per seq
         for mode in modes:
             r = run_sequence(name, scene, render, sample, path, mode,
-                             self_init=self_init, imgs=imgs)
+                             self_init=self_init, imgs=imgs,
+                             seed_noise=seed_noise,
+                             cfg_overrides=overrides)
             rows.append(r)
             print(json.dumps(r))
 
@@ -272,9 +306,25 @@ directories when data is present.
 This file is the new-framework analogue of the reference's recorded
 accuracy log (reference: misc_src/pose_tracking_acc.txt:1-57).  Like
 that log's "without / with 3d point position refinement" sections, each
-sequence runs with BA `off`, `structure`-only (the default: poses from
-the photometric IC-GN odometer, BA refines the landmark map against
-measured observations), and `full` joint BA.
+sequence runs under four BA modes:
+
+- `off`: pure photometric odometer (no refinement),
+- `structure`: poses from the odometer; BA refines the LANDMARK map
+  against measured observations (exact per-landmark LM),
+- `full`: joint pose+point windowed BA with odometry-prior factors,
+- `hybrid` (the engine DEFAULT): structure refinement pre-pass, then a
+  motion-only pose polish fused with odometry priors, gated by window
+  observability — the polish runs only when the window's mean
+  triangulation angle is low (forward motion), where the photometric
+  odometer drifts along its unobservable directions and the multi-frame
+  constraints carry real information; at high parallax the refined map
+  plus photometric odometry is already at sub-LK accuracy and the
+  polish is skipped (`VOConfig.polish_max_parallax_deg`).
+
+The `corridor-noisymap` rows run the reference's own refinement
+scenario: a FIXED noisy 3D point set (no new triangulations, no
+retirement), tracked without vs with point refinement — the direct
+analogue of pose_tracking_acc.txt's two sections.
 
 - ATE RMSE: absolute trajectory error, world units (unaligned for
   GT-bootstrapped runs; Umeyama-aligned with scale for self-init —

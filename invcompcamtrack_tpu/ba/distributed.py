@@ -40,7 +40,8 @@ def ba_solve_sharded(prob: BAProblem, mesh: Mesh, num_iters: int = 10,
                      per_landmark_accept: bool = False,
                      damp_min: float = 0.0,
                      lm_eig_floor: float | None = None,
-                     odo: OdoFactors | None = None):
+                     odo: OdoFactors | None = None,
+                     motion_only: bool = False):
     """Distributed LM loop.  The landmark dimension L of ``prob`` must be
     divisible by the mesh axis size; observations/mask shard with it.
     Accepts every ``ba_solve`` option (same defaults).
@@ -68,7 +69,7 @@ def ba_solve_sharded(prob: BAProblem, mesh: Mesh, num_iters: int = 10,
             lm_step_clip=lm_step_clip,
             per_landmark_accept=per_landmark_accept,
             damp_min=damp_min, lm_eig_floor=lm_eig_floor, odo=odo,
-            psum_axis=axis,
+            psum_axis=axis, motion_only=motion_only,
         )
         return ps, lms, jnp.stack([err, err0])
 

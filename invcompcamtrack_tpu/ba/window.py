@@ -267,7 +267,8 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
                 reduced_solver: str = "dense", cg_iters: int = 32,
                 lm_eig_floor: float | None = None,
                 odo: OdoFactors | None = None,
-                psum_axis: str | None = None):
+                psum_axis: str | None = None,
+                motion_only: bool = False):
     """One damped GN step via Schur elimination of the landmarks.
 
     With ``huber_delta``, IRLS reweighting (sqrt-weights folded into the
@@ -322,7 +323,15 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
         jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-8
     )[..., None, :] * eyeL
 
-    if lm_eig_floor is None:
+    if motion_only:
+        # landmarks FROZEN: Hxx^-1 = 0 collapses the Schur complement to
+        # the pose block (W = 0, dlm = 0) — the pose-polish step of the
+        # hybrid engine mode.  No spectral machinery touches the step,
+        # so it is robust to near-singular landmark blocks by
+        # construction (f32 eigh noise amplified by 1/lambda_min was
+        # measured to poison joint steps on TPU; see docs/parity.md).
+        Hxx_inv = jnp.zeros_like(Hxx)
+    elif lm_eig_floor is None:
         Hxx_inv = sym3x3_inverse(Hxx)  # (L,3,3)
     else:
         lam, V = jnp.linalg.eigh(Hxx)  # ascending eigenvalues
@@ -392,8 +401,12 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
              damp_min: float = 0.0,
              lm_eig_floor: float | None = None,
              odo: OdoFactors | None = None,
-             psum_axis: str | None = None):
+             psum_axis: str | None = None,
+             motion_only: bool = False):
     """Levenberg-Marquardt loop with accept/reject on the total error.
+
+    ``motion_only``: hold the LANDMARKS fixed and refine only the poses
+    (dlm = 0 exactly) — the hybrid engine mode's pose-polish phase.
 
     ``huber_delta`` (pixels) turns on Huber-robust IRLS weighting —
     outlier observations beyond delta contribute linearly, so a bad
@@ -432,7 +445,8 @@ def ba_solve(prob: BAProblem, num_iters: int = 10, damp_init: float = 1e-3,
                                  cg_iters=cg_iters,
                                  lm_eig_floor=lm_eig_floor,
                                  odo=odo,
-                                 psum_axis=psum_axis)
+                                 psum_axis=psum_axis,
+                                 motion_only=motion_only)
         if lm_step_clip is not None:
             centers = jax.vmap(lambda p: lie.camera_center(lie.se3_exp(p)))(
                 poses)                                              # (K,3)

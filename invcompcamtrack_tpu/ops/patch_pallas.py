@@ -93,9 +93,14 @@ def _lanes(two_phase: bool) -> int:
 
 def _use_two_phase(H: int, W: int, span: int, n_planes: int = 1) -> bool:
     """Two-phase halves load width but doubles resident plane bytes;
-    fall back to single-phase wide loads when the stack won't fit."""
+    fall back to single-phase wide loads when the stack won't fit.
+
+    The x2 allowance: under vmap (the multi-stream engine) Mosaic
+    double-buffers the per-stream plane blocks, so the stacked plane
+    must fit TWICE — and two-phase is speed-neutral (docs/kernels.md),
+    so conceding it costs nothing."""
     Hp, Wp = _padded_geom(H, W, span, two_phase=True)
-    return n_planes * 2 * Hp * Wp * 4 <= _VMEM_BUDGET
+    return n_planes * 2 * Hp * Wp * 4 * 2 <= _VMEM_BUDGET
 
 
 def _prep_plane(img, span: int, two_phase: bool):

@@ -89,7 +89,24 @@ class VOConfig:
     #                              joint BA with odometry priors — map
     #                              quality from the structure phase, drift
     #                              repair from the joint phase
-    ba_struct_iters: int = 4     # hybrid: iterations of the structure pre-pass
+    ba_struct_iters: int = 6     # hybrid: iterations of the structure pre-pass
+    ba_joint_motion_only: bool = True  # hybrid: the joint phase refines
+    #   POSES only (landmarks frozen at the structure-phase result).
+    #   Joint landmark steps go through the eig-floored H_ll pseudo-
+    #   inverse, whose f32 eigh noise (amplified by 1/lambda_min on
+    #   low-parallax landmarks) was measured to poison whole-window
+    #   accept/reject on TPU; motion-only pose polish is robust by
+    #   construction and the structure phase owns the map.
+    polish_max_parallax_deg: float = 1.5  # hybrid: observability gate on
+    #   the pose polish.  When the window's mean triangulation angle is
+    #   HIGH, the map is well-observed and the photometric odometer is
+    #   already at sub-LK accuracy — fusing pixel-level LK reprojection
+    #   factors into the poses only adds noise (measured: lateral-sweep
+    #   ATE 0.18 -> 0.36).  When it is LOW (forward motion), the
+    #   odometer drifts along its unobservable directions and the
+    #   multi-frame window constraints carry real information
+    #   (measured: forward ATE 0.094 -> 0.058).  The polish therefore
+    #   runs only below this mean-parallax threshold.
     ba_lm_step_clip: float = 0.1  # per-BA-iteration landmark trust region,
     #                               fraction of distance to nearest camera
     ba_lm_eig_floor: float = 5e-3  # spectral observability cutoff on H_ll:
@@ -102,6 +119,9 @@ class VOConfig:
     #   quality when the window's structure is weak/young
     odo_sigma_t: float = 0.01    # odometry 1-sigma translation (world units)
     odo_sigma_r: float = 0.001   # odometry 1-sigma rotation (radians)
+    ba_debug: bool = False       # jax.debug.print per-keyframe BA costs
+    #   (the engine analogue of the reference's verbosity=2 per-iteration
+    #   prints, reference: odometer.cpp:416-417)
     ba_mesh: object = None       # jax.sharding.Mesh: run the window BA
     #   landmark-sharded over `ba_mesh_axis` (ba/distributed.py wrapper
     #   around the same ba_solve).  max_landmarks must divide evenly.
@@ -410,6 +430,20 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
     do_ba = (jnp.sum(kf_valid) >= cfg.min_kf_for_ba) & \
         (jnp.sum(lm_valid) >= cfg.min_lm_for_ba)
 
+    # observability statistic for the pose-polish gate: mean
+    # triangulation angle of the live map between the window's longest
+    # baseline (founding partner keyframe -> new keyframe)
+    c_old_g = lie.camera_center(lie.se3_exp(_row_get(kf_poses, old_slot)))
+    c_new_g = lie.camera_center(G_new)
+    r0g = landmarks - c_old_g
+    r1g = landmarks - c_new_g
+    cosg = jnp.sum(r0g * r1g, axis=1) / jnp.maximum(
+        jnp.linalg.norm(r0g, axis=1) * jnp.linalg.norm(r1g, axis=1), 1e-12)
+    ang = jnp.arccos(jnp.clip(cosg, -1.0, 1.0))
+    mean_parallax = jnp.sum(jnp.where(lm_valid, ang, 0.0)) / jnp.maximum(
+        jnp.sum(lm_valid), 1)
+    polish_on = mean_parallax < jnp.deg2rad(cfg.polish_max_parallax_deg)
+
     odo = None
     if cfg.ba_mode in ("full", "hybrid") and cfg.odo_prior:
         # factor k constrains ring slots (k-1)%K -> k.  After the ring
@@ -449,7 +483,7 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
             # structure phase: all poses fixed, refine the map only
             n_s = cfg.ba_struct_iters if cfg.ba_mode == "hybrid" \
                 else cfg.ba_iters
-            _, lms, _ = _ba(
+            _, lms, (es, es0) = _ba(
                 prob._replace(fixed_pose_mask=jnp.ones((K,), bool)),
                 num_iters=n_s, huber_delta=cfg.huber_px,
                 lm_step_clip=cfg.ba_lm_step_clip,
@@ -457,9 +491,14 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
                 damp_min=1e-5,
                 lm_eig_floor=cfg.ba_lm_eig_floor,
             )
+            if cfg.ba_debug:
+                jax.debug.print("BA kf={k} struct {a:.5f} -> {b:.5f}",
+                                k=state.frame_idx, a=es0, b=es)
         if cfg.ba_mode in ("full", "hybrid"):
-            # joint phase: poses + landmarks, odometry-prior fused
-            poses, lms, _ = _ba(
+            # joint phase: odometry-prior fused; in hybrid the landmarks
+            # stay frozen (pose polish) unless configured otherwise
+            mo = cfg.ba_mode == "hybrid" and cfg.ba_joint_motion_only
+            poses_j, lms_j, (ej, ej0) = _ba(
                 prob._replace(landmarks=lms),
                 num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
                 lm_step_clip=cfg.ba_lm_step_clip,
@@ -467,7 +506,19 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
                 damp_min=1e-5,
                 lm_eig_floor=cfg.ba_lm_eig_floor,
                 odo=odo,
+                motion_only=mo,
             )
+            if cfg.ba_mode == "hybrid":
+                # observability gate (see polish_max_parallax_deg)
+                poses = jnp.where(polish_on, poses_j, poses)
+                lms = jnp.where(polish_on, lms_j, lms)
+            else:
+                poses, lms = poses_j, lms_j
+            if cfg.ba_debug:
+                jax.debug.print(
+                    "BA kf={k} joint {a:.5f} -> {b:.5f} dpose={d:.2e}",
+                    k=state.frame_idx, a=ej0, b=ej,
+                    d=jnp.abs(poses - prob.poses).max())
         return poses, lms
 
     kf_poses, landmarks = jax.lax.cond(
@@ -566,6 +617,64 @@ def _fill_slots(landmarks, lm_valid, candidates, cand_valid):
     seed_X = jnp.take(candidates, jnp.clip(take, 0, K - 1), axis=0)
     landmarks = jnp.where(seeded[:, None], seed_X.astype(landmarks.dtype), landmarks)
     return landmarks, lm_valid | seeded, seeded, take
+
+
+class VisualOdometryBatch:
+    """Multi-stream engine: S independent VO streams advanced by ONE
+    vmapped device program — the chip-filling throughput mode
+    (frames/s/chip is the north-star metric; a single 720p stream
+    leaves the chip mostly idle between keyframe programs).
+
+    All streams share one camera/config (one compilation); states are
+    stacked leaf-wise into a leading stream axis.  ``lax.cond`` under
+    vmap executes both branches, so the do-BA gate becomes a select —
+    streams that gate BA off still pay its FLOPs (they are batched with
+    streams that don't; the chip was idle anyway).
+    """
+
+    def __init__(self, engines: "list[VisualOdometry]"):
+        if not engines:
+            raise ValueError("need at least one bootstrapped engine")
+        cfg0 = engines[0].cfg
+        for e in engines[1:]:
+            if e.cfg is not cfg0 and e.cfg != cfg0:
+                raise ValueError("streams must share one VOConfig")
+            if e.state is None:
+                raise ValueError("bootstrap every engine first")
+        self.engines = engines
+        self.cfg = cfg0
+        cam = engines[0].cam
+        self.states = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[e.state for e in engines]
+        )
+        self._jit_run = jax.jit(jax.vmap(
+            lambda st, fr: _run_periods(st, fr, cam, cfg0)
+        ))
+        self._frame_idx = engines[0]._frame_idx
+
+    @property
+    def n_streams(self) -> int:
+        return len(self.engines)
+
+    def run_frames(self, images) -> np.ndarray:
+        """images: (S, T, H, W), T a multiple of keyframe_stride and the
+        cadence aligned (same contract as VisualOdometry.run_frames).
+        ONE device dispatch advances every stream; returns (S, T, 6)."""
+        stride = self.cfg.keyframe_stride
+        S, T = images.shape[:2]
+        if S != self.n_streams:
+            raise ValueError(f"{S} image streams != {self.n_streams}")
+        if T % stride != 0 or self._frame_idx % stride != 0:
+            raise ValueError("chunk must align with the keyframe cadence")
+        frames = jnp.asarray(images, self.engines[0].dtype).reshape(
+            S, T // stride, stride, *images.shape[2:]
+        )
+        self.states, poses = self._jit_run(self.states, frames)
+        self._frame_idx += T
+        return np.asarray(poses)
+
+    def state_of(self, s: int) -> VOState:
+        return jax.tree.map(lambda a: a[s], self.states)
 
 
 def make_empty_state(cfg: VOConfig, wh, dtype=jnp.float32) -> VOState:

@@ -315,3 +315,49 @@ def test_ba_odo_prior_masked_factors_inert(rng):
     np.testing.assert_allclose(np.asarray(p_off), np.asarray(p_ref),
                                rtol=1e-6, atol=1e-9)
     np.testing.assert_allclose(float(e_off), float(e_ref), rtol=1e-6)
+
+
+def test_ba_motion_only_polishes_poses_without_touching_landmarks(rng):
+    """motion_only=True must leave landmarks bit-identical and still
+    recover perturbed poses against a good map (the hybrid engine's
+    pose-polish phase)."""
+    prob, poses_gt, X_gt = _make_problem(rng, perturb_pose=0.01,
+                                         perturb_lm=0.0)
+    p, l, (e, e0) = ba_solve(prob, num_iters=8, motion_only=True)
+    assert np.array_equal(np.asarray(l), np.asarray(prob.landmarks))
+    assert float(e) < float(e0) * 1e-3, (float(e0), float(e))
+    np.testing.assert_allclose(np.asarray(p), poses_gt, atol=1e-4)
+
+
+def test_ba_repairs_triangulation_depth_noise(rng):
+    """The reference's headline refinement result — 3D points with
+    triangulation-shaped (ray-aligned) depth noise repaired from
+    multi-view observations (reference: misc_src/pose_tracking_acc.txt
+    improves 10-80x; triang.c:378-435 depth-only refiner).  The
+    structure solver must reduce the 3D RMS error by >=100x when the
+    window geometry observes the depths."""
+    from invcompcamtrack_tpu.ba.window import BAProblem
+
+    r2 = np.random.default_rng(0)
+    K, L = 10, 256
+    side = r2.choice([-1.0, 1.0], L)
+    X_gt = np.c_[side * 4.0, r2.uniform(-2, 2, L),
+                 r2.uniform(4, 12, L)].astype(np.float32)
+    poses = np.zeros((K, 6), np.float32)
+    poses[:, 2] = -0.12 * np.arange(K)  # forward motion
+    prob0 = BAProblem(
+        poses=jnp.asarray(poses), landmarks=jnp.asarray(X_gt),
+        obs=jnp.zeros((K, L, 2), jnp.float32), mask=jnp.ones((K, L), bool),
+        fx=jnp.asarray(520.0), fy=jnp.asarray(525.0),
+        cx=jnp.asarray(320.0), cy=jnp.asarray(240.0),
+        fixed_pose_mask=jnp.ones((K,), bool))
+    res0, _ = ba_residuals(prob0)
+    eta = r2.normal(size=(L, 1)).astype(np.float32) * 0.15
+    lms = jnp.asarray(X_gt * (1.0 + eta))  # ray-aligned depth noise
+    prob = prob0._replace(landmarks=lms, obs=-res0)
+
+    _, l_out, (e, e0) = ba_solve(prob, num_iters=10, huber_delta=4.0,
+                                 per_landmark_accept=True, damp_min=1e-5)
+    err_in = float(jnp.sqrt(jnp.mean((lms - X_gt) ** 2)))
+    err_out = float(jnp.sqrt(jnp.mean((l_out - X_gt) ** 2)))
+    assert err_out < err_in / 100.0, (err_in, err_out)

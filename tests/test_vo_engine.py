@@ -319,3 +319,47 @@ def test_vo_engine_landmark_sharded_ba_parity(rng):
     np.testing.assert_allclose(np.stack(poses_a), np.stack(poses_b),
                                atol=5e-4)
     assert int(vo_b.lm_valid.sum()) > 50
+
+
+def test_vo_multistream_batch_matches_single(rng):
+    """The vmapped multi-stream engine must advance each stream exactly
+    as its own single-stream engine does (streams share config but have
+    independent states/frames)."""
+    from invcompcamtrack_tpu.vo.engine import VisualOdometryBatch
+
+    n_frames = 8
+    scene, _, _, _ = _small_setup(rng, 2)
+    tracker = ICGNParams(lv_f=2, lv_l=0, psz=8, maxiter=6)
+    cfg = VOConfig(tracker=tracker, max_landmarks=96, window=4,
+                   keyframe_stride=2, corners_per_kf=96, min_parallax_px=0.5)
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh,
+                               tracker.num_levels, tracker.psz)
+
+    streams, engines = [], []
+    for r in range(3):
+        rr = np.random.default_rng(20 + r)
+        poses = [np.zeros(6)]
+        for _ in range(1, n_frames):
+            poses.append(poses[-1] + np.r_[rr.normal(size=3) * 0.015,
+                                           rr.normal(size=3) * 0.004])
+        poses = np.stack(poses)
+        imgs = np.stack([synthetic.render(scene, geo.se3_exp(p))
+                         for p in poses])
+        vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
+        seeds = synthetic.sample_plane_points(
+            scene, np.random.default_rng(7), 80, margin=20)
+        vo.bootstrap(imgs[0], imgs[1], poses[0], poses[1], seeds)
+        streams.append(imgs)
+        engines.append(vo)
+
+    # single-stream oracle trajectories (run AFTER capturing states)
+    batch = VisualOdometryBatch(engines)
+    single = np.stack([vo.run_frames(imgs[2:])
+                       for vo, imgs in zip(engines, streams)])
+    batched = batch.run_frames(np.stack([s[2:] for s in streams]))
+    np.testing.assert_allclose(batched, single, atol=1e-5)
+    # final landmark tables agree too
+    for r, vo in enumerate(engines):
+        np.testing.assert_allclose(
+            np.asarray(batch.state_of(r).landmarks),
+            np.asarray(vo.state.landmarks), atol=1e-4)
