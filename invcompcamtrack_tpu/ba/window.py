@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from invcompcamtrack_tpu.core import lie
+from invcompcamtrack_tpu.ops.linalg import sym3x3_trunc_pinv
 from invcompcamtrack_tpu.sfm.triangulate import sym3x3_inverse
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -334,12 +335,12 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
     elif lm_eig_floor is None:
         Hxx_inv = sym3x3_inverse(Hxx)  # (L,3,3)
     else:
-        lam, V = jnp.linalg.eigh(Hxx)  # ascending eigenvalues
-        lam_max = lam[..., -1:]
-        inv_l = jnp.where(lam > lm_eig_floor * lam_max,
-                          1.0 / jnp.maximum(lam, 1e-20), 0.0)
-        Hxx_inv = jnp.einsum("lij,lj,lkj->lik", V, inv_l, V,
-                             precision=_PREC)
+        # closed-form Cardano eigensolver (ops/linalg.py): batched
+        # jnp.linalg.eigh lowers to an iterative Jacobi sweep whose f32
+        # noise, amplified by 1/lambda_min on near-singular blocks,
+        # poisoned joint landmark steps on TPU (parity.md deviation #8,
+        # now resolved); the analytic roots have no iteration noise.
+        Hxx_inv = sym3x3_trunc_pinv(Hxx, lm_eig_floor)
 
     # Schur complement: S = Hpp - sum_l Hpx Hxx^-1 Hxp
     W = jnp.einsum("klij,ljm->klim", Hpx, Hxx_inv, precision=_PREC)    # (K,L,6,3)
