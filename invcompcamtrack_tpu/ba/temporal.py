@@ -59,8 +59,10 @@ class TemporalBAProblem(NamedTuple):
     fixed_pose_mask: jnp.ndarray  # (K,) bool — True = pose held fixed
     odom: jnp.ndarray         # (K, 6) chain measurement: odom[k] ~
     #                           poses[k+1] - poses[k]; row K-1 unused
-    odom_weight: jnp.ndarray  # () or (K,) — 0 disables the chain factor
-    #                           (row k weights the k -> k+1 factor)
+    odom_weight: jnp.ndarray  # (), (K,), or (K, 6) — 0 disables the
+    #                           chain factor (row k weights the k -> k+1
+    #                           factor; a (K, 6) weight gives translation
+    #                           and rotation coefficients distinct sigmas)
 
 
 def _project(poses, landmarks, fx, fy, cx, cy):
@@ -95,19 +97,20 @@ def _neighbor_edges(x_local, axis):
 
 
 def _prev_factor_weight(w_local, axis):
-    """w_{k-1} per local row: local shift, boundary row from the left
-    neighbour's last factor weight via the ring halo."""
-    _, w_left = _neighbor_edges(w_local[:, None], axis)
-    return jnp.concatenate([w_left, w_local[:-1]], axis=0)
+    """w_{k-1} per local row ((Kd, 6) per-coefficient weights): local
+    shift, boundary row from the left neighbour's last factor weight via
+    the ring halo."""
+    _, w_left = _neighbor_edges(w_local, axis)
+    return jnp.concatenate([w_left[None], w_local[:-1]], axis=0)
 
 
 def _chain_matvec(x, free_f, w_local, axis):
     """y += H_chain x for the odometry chain, with ring halos.
 
     x: (Kd, 6) local slice of the pose update.  Factor k (local row k,
-    weight w_local[k]) couples rows k and k+1; the last local factor
-    couples into the right neighbour's first row, and the left
-    neighbour's last factor couples into local row 0.  A FIXED
+    per-coefficient weight w_local[k]) couples rows k and k+1; the last
+    local factor couples into the right neighbour's first row, and the
+    left neighbour's last factor couples into local row 0.  A FIXED
     neighbour contributes dx = 0 to the coupling but its incident
     factor still stiffens the free side's diagonal (the chain anchors
     free poses to fixed ones).
@@ -119,7 +122,7 @@ def _chain_matvec(x, free_f, w_local, axis):
     x_prev = jnp.concatenate([left_last[None], xm[:-1]], axis=0)
     # factor k: + w_k (x_k - x_{k+1}) on row k; factor k-1:
     # + w_{k-1} (x_k - x_{k-1}) on row k
-    y = w_local[:, None] * (xm - x_next) + w_prev[:, None] * (xm - x_prev)
+    y = w_local * (xm - x_next) + w_prev * (xm - x_prev)
     return y * free_f[:, None]
 
 
@@ -132,20 +135,25 @@ def _chain_residual(poses_local, odom_local, axis):
 
 
 def _chain_weight_mask(w, free_f, axis):
-    """Per-local-row factor weight: global weight, zeroed for the final
-    chain row (factor K-1 does not exist)."""
+    """Per-local-row, per-coefficient factor weight (Kd, 6): accepts
+    scalar, (Kd,), or (Kd, 6) input (a (Kd, 6) weight expresses distinct
+    translation/rotation sigmas, the engine's odo_sigma_t/odo_sigma_r);
+    zeroed for the final chain row (factor K-1 does not exist)."""
     n = jax.lax.axis_size(axis)
     idx = jax.lax.axis_index(axis)
     Kd = free_f.shape[0]
     last = (idx == n - 1)
-    row_w = jnp.broadcast_to(w, (Kd,)).astype(free_f.dtype)
-    is_last_row = jnp.arange(Kd) == Kd - 1
+    w = jnp.asarray(w, free_f.dtype)
+    if w.ndim == 1:
+        w = w[:, None]
+    row_w = jnp.broadcast_to(w, (Kd, 6))
+    is_last_row = (jnp.arange(Kd) == Kd - 1)[:, None]
     return jnp.where(last & is_last_row, 0.0, row_w)
 
 
 def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
                    intr, *, axis, num_iters, damp_init, damp_up,
-                   damp_down, huber_delta, cg_iters):
+                   damp_down, huber_delta, cg_iters, motion_only):
     """The shard_map body: everything pose-indexed is a (Kd, ...) local
     slice; landmarks are replicated."""
     fx, fy, cx, cy = intr
@@ -170,7 +178,7 @@ def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
             c_loc = jnp.sum(jnp.where(mask, rho, 0.0))
         w_row = _chain_weight_mask(odom_w, free_f, axis)
         e = _chain_residual(poses_l, odom, axis)
-        c_loc = c_loc + jnp.sum(w_row[:, None] * e * e)
+        c_loc = c_loc + jnp.sum(w_row * e * e)
         cnt = jax.lax.psum(jnp.maximum(jnp.sum(mask), 0), axis)
         return jax.lax.psum(c_loc, axis) / (2.0 * jnp.maximum(cnt, 1))
 
@@ -193,6 +201,11 @@ def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
         m = mask[..., None, None]
         Jp = jnp.where(m & jnp.isfinite(Jp), Jp, 0.0)
         Jx = jnp.where(m & jnp.isfinite(Jx), Jx, 0.0)
+        if motion_only:
+            # landmarks frozen (the engine's hybrid pose-polish phase):
+            # zero landmark Jacobians kill Hpx/Hxx/bx, so W = 0 and the
+            # back-substituted dlm is exactly 0 — no spectral machinery
+            Jx = jnp.zeros_like(Jx)
         if huber_delta is not None:
             sw = jnp.sqrt(huber_weights(res, mask, huber_delta))
             res = res * sw[..., None]
@@ -225,7 +238,7 @@ def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
         # rhs_{k+1} -= w_k e_k (incoming factor via halo)
         w_row = _chain_weight_mask(odom_w, free_f, axis)
         e = _chain_residual(poses_l, odom, axis)
-        we = w_row[:, None] * e
+        we = w_row * e
         _, left_last_we = _neighbor_edges(we, axis)
         we_prev = jnp.concatenate([left_last_we[None], we[:-1]], axis=0)
         rhs = (rhs + we - we_prev) * free_f[:, None]
@@ -244,9 +257,9 @@ def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
         # block-diagonal preconditioner: S_kk plus the chain's diagonal
         S_kk = Hpp - jnp.einsum("klim,kljm->kij", W, Hpx, precision=_PREC)
         w_prev = _prev_factor_weight(w_row, axis)
-        chain_diag = (w_row + w_prev) * free_f
-        S_kk = S_kk + (chain_diag + fixed.astype(dtype))[:, None, None] \
-            * jnp.eye(6, dtype=dtype)
+        chain_diag = (w_row + w_prev) * free_f[:, None] \
+            + fixed.astype(dtype)[:, None]
+        S_kk = S_kk + jnp.eye(6, dtype=dtype) * chain_diag[:, None, :]
 
         def prec(r):
             return jnp.linalg.solve(S_kk, r[..., None])[..., 0]
@@ -306,7 +319,8 @@ def temporal_ba_solve(prob: TemporalBAProblem, mesh: Mesh,
                       damp_init: float = 1e-3, damp_up: float = 10.0,
                       damp_down: float = 10.0,
                       huber_delta: float | None = None,
-                      cg_iters: int = 32):
+                      cg_iters: int = 32,
+                      motion_only: bool = False):
     """Levenberg-Marquardt BA with the keyframe axis sharded over
     ``mesh[axis]``.  K must divide evenly by the axis size.  Returns
     (poses, landmarks, (err, err0)); landmarks replicated.
@@ -320,16 +334,20 @@ def temporal_ba_solve(prob: TemporalBAProblem, mesh: Mesh,
         _temporal_spmd, axis=axis, num_iters=num_iters,
         damp_init=damp_init, damp_up=damp_up, damp_down=damp_down,
         huber_delta=huber_delta, cg_iters=cg_iters,
+        motion_only=motion_only,
     )
     seq = P(axis)
+    odom_w = jnp.asarray(prob.odom_weight, prob.poses.dtype)
+    # a scalar weight is replicated; per-factor (K,)/(K, 6) weights ride
+    # the keyframe axis like the factors they weight
+    w_spec = P() if odom_w.ndim == 0 else seq
     fn = jax.shard_map(
         lambda *a: body(*a),
         mesh=mesh,
-        in_specs=(seq, P(), seq, seq, seq, seq, P(), P()),
+        in_specs=(seq, P(), seq, seq, seq, seq, w_spec, P()),
         out_specs=(seq, P(), P(), P()),
         check_vma=False,
     )
-    odom_w = jnp.asarray(prob.odom_weight, prob.poses.dtype)
     poses, lms, err, err0 = fn(
         prob.poses, prob.landmarks, prob.obs, prob.mask,
         prob.fixed_pose_mask, prob.odom, odom_w,

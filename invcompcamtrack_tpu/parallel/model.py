@@ -90,3 +90,25 @@ def engine_keyframe_psums(K: int, struct_iters: int, joint_iters: int,
     else:
         n_coll = iters * (4 + cg_iters) + cost_evals
     return ba_bytes + scalar_bytes, n_coll
+
+
+def temporal_ba_psum_bytes(L: int, lm_iters: int, cg_iters: int = 48,
+                           dtype_bytes: int = 4) -> float:
+    """Keyframe-sharded (SP) temporal BA (ba/temporal.py): per LM
+    iteration the landmark-block psums Hxx (L,3,3) + bx (L,3), per CG
+    iteration one (L,3) psum on the reduced camera system plus 2 scalar
+    pdots, the back-substitution (L,3) psum, 2 cost psums (scalar
+    sum+count), and 4 (6,)-vector ppermute halos (chain residual + rhs
+    + per-matvec edges fold into the CG term).  Independent of K — the
+    whole point of the SP layout: window length scales out with devices
+    while the wire cost stays O(L)."""
+    hxx = L * 9 * dtype_bytes
+    lvec = L * 3 * dtype_bytes
+    halo = 6 * dtype_bytes
+    per_cg = lvec + 2 * dtype_bytes + 2 * halo
+    per_iter = (hxx + lvec           # normal-equation landmark blocks
+                + cg_iters * per_cg  # reduced-system PCG
+                + lvec               # landmark back-substitution
+                + 2 * 2 * dtype_bytes  # accept/reject cost psums
+                + 4 * halo)          # chain residual/rhs edge exchange
+    return lm_iters * per_iter

@@ -126,6 +126,18 @@ class VOConfig:
     #   landmark-sharded over `ba_mesh_axis` (ba/distributed.py wrapper
     #   around the same ba_solve).  max_landmarks must divide evenly.
     ba_mesh_axis: str = "model"
+    ba_temporal_mesh: object = None  # jax.sharding.Mesh: run the JOINT
+    #   window-BA phase KEYFRAME-sharded over `ba_temporal_axis`
+    #   (ba/temporal.py — the SP/CP strategy: O(L) psums + O(1) pose
+    #   halos per GN step, independent of window length).  The long-
+    #   window product path: `window` must divide evenly by the axis
+    #   size.  The ring window is rolled to chronological order, the
+    #   photometric odometry measurements become per-coefficient-
+    #   weighted chain factors, and the hybrid polish gate applies
+    #   unchanged.  Mutually exclusive with ba_mesh.
+    ba_temporal_axis: str = "seq"
+    ba_temporal_cg_iters: int = 48  # PCG iterations on the distributed
+    #                                 reduced camera system per LM step
 
 
 class VOState(NamedTuple):
@@ -352,6 +364,65 @@ def _promote_triangulate(state: VOState, pyr: Pyramid, p_new,
                    new_obs_mask=new_obs_mask)
 
 
+def _joint_ba_temporal(cfg: VOConfig, prob: BAProblem, kf_rel,
+                       kf_rel_valid, kf_valid, new_slot, motion_only):
+    """Route the engine's joint window-BA phase to the keyframe-sharded
+    temporal solver (ba/temporal.py) — the long-window SP product path.
+
+    The ring window is rolled to CHRONOLOGICAL order (oldest keyframe at
+    row 0), so ring-adjacent odometry measurements become array-adjacent
+    chain factors.  The group-valued photometric odometry measurement
+    ``rel_{k->k+1}`` is linearized into the chain's coefficient-space
+    convention at the current pose (the framework's additive pose-update
+    semantics, reference: pose.cpp:116-129):
+
+        odom[k] = log(rel_{k->k+1} exp(p_k)) - p_k
+
+    Translation/rotation coefficients carry distinct weights
+    (1/odo_sigma_t^2, 1/odo_sigma_r^2) via the (K, 6) chain weights.
+    """
+    from invcompcamtrack_tpu.ba.temporal import (TemporalBAProblem,
+                                                 temporal_ba_solve)
+
+    K = prob.poses.shape[0]
+    shift = -(new_slot + 1)
+
+    def roll(a):
+        return jnp.roll(a, shift, axis=0)
+
+    poses_c, obs_c, mask_c = roll(prob.poses), roll(prob.obs), roll(prob.mask)
+    fixed_c = roll(prob.fixed_pose_mask)
+    rel_c, relv_c, kfv_c = roll(kf_rel), roll(kf_rel_valid), roll(kf_valid)
+
+    # chain factor k couples chronological rows k -> k+1; its measured
+    # relative group lives at rolled row k+1
+    rel_next = jnp.roll(rel_c, -1, axis=0)
+    pred = jax.vmap(
+        lambda R, p: lie.se3_log(lie.se3_compose(R, lie.se3_exp(p)))
+    )(rel_next, poses_c)
+    odom = pred - poses_c
+    f_valid = (jnp.roll(relv_c, -1, axis=0) & kfv_c
+               & jnp.roll(kfv_c, -1, axis=0)
+               & (jnp.arange(K) < K - 1))
+    dtype = prob.poses.dtype
+    w6 = jnp.concatenate([
+        jnp.full((3,), (1.0 / cfg.odo_sigma_t) ** 2, dtype),
+        jnp.full((3,), (1.0 / cfg.odo_sigma_r) ** 2, dtype)])
+    w = jnp.where(f_valid[:, None], w6, 0.0)
+    if not cfg.odo_prior:
+        w = jnp.zeros_like(w)
+
+    tprob = TemporalBAProblem(
+        poses=poses_c, landmarks=prob.landmarks, obs=obs_c, mask=mask_c,
+        fx=prob.fx, fy=prob.fy, cx=prob.cx, cy=prob.cy,
+        fixed_pose_mask=fixed_c, odom=odom, odom_weight=w)
+    p_c, lms, (e, e0) = temporal_ba_solve(
+        tprob, cfg.ba_temporal_mesh, axis=cfg.ba_temporal_axis,
+        num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
+        cg_iters=cfg.ba_temporal_cg_iters, motion_only=motion_only)
+    return jnp.roll(p_c, new_slot + 1, axis=0), lms, (e, e0)
+
+
 def _promote_commit(state: VOState, pyr: Pyramid, p_new,
                     cam: CameraPyramid, cfg: VOConfig,
                     tri: _TriOut) -> VOState:
@@ -498,16 +569,22 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
             # joint phase: odometry-prior fused; in hybrid the landmarks
             # stay frozen (pose polish) unless configured otherwise
             mo = cfg.ba_mode == "hybrid" and cfg.ba_joint_motion_only
-            poses_j, lms_j, (ej, ej0) = _ba(
-                prob._replace(landmarks=lms),
-                num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
-                lm_step_clip=cfg.ba_lm_step_clip,
-                per_landmark_accept=False,
-                damp_min=1e-5,
-                lm_eig_floor=cfg.ba_lm_eig_floor,
-                odo=odo,
-                motion_only=mo,
-            )
+            if cfg.ba_temporal_mesh is not None:
+                # long-window product path: keyframe-sharded SP solve
+                poses_j, lms_j, (ej, ej0) = _joint_ba_temporal(
+                    cfg, prob._replace(landmarks=lms), kf_rel,
+                    kf_rel_valid, kf_valid, new_slot, mo)
+            else:
+                poses_j, lms_j, (ej, ej0) = _ba(
+                    prob._replace(landmarks=lms),
+                    num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
+                    lm_step_clip=cfg.ba_lm_step_clip,
+                    per_landmark_accept=False,
+                    damp_min=1e-5,
+                    lm_eig_floor=cfg.ba_lm_eig_floor,
+                    odo=odo,
+                    motion_only=mo,
+                )
             if cfg.ba_mode == "hybrid":
                 # observability gate (see polish_max_parallax_deg)
                 poses = jnp.where(polish_on, poses_j, poses)

@@ -363,3 +363,74 @@ def test_vo_multistream_batch_matches_single(rng):
         np.testing.assert_allclose(
             np.asarray(batch.state_of(r).landmarks),
             np.asarray(vo.state.landmarks), atol=1e-4)
+
+
+def test_vo_engine_temporal_sharded_ba_parity(rng):
+    """The engine's keyframe-sharded temporal BA product path
+    (VOConfig.ba_temporal_mesh routes the JOINT window-BA phase to
+    ba/temporal.py over a 4-device "seq" mesh) must track the
+    single-device joint solver's trajectory.  The solvers differ in the
+    reduced solve (distributed PCG vs dense) and in the odometry-factor
+    parameterization (coefficient-space chain linearized at the current
+    pose vs group-space factors), so agreement is engineering tolerance,
+    not bitwise; both must stay at the same accuracy against GT."""
+    import jax
+    from jax.sharding import Mesh
+
+    n_frames = 14
+    scene, poses_gt, imgs, _ = _small_setup(rng, n_frames)
+    tracker = ICGNParams(lv_f=2, lv_l=0, psz=8, maxiter=6)
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh,
+                               tracker.num_levels, tracker.psz)
+    base = dict(tracker=tracker, max_landmarks=128, window=4,
+                keyframe_stride=2, corners_per_kf=128,
+                min_parallax_px=0.5, ba_mode="full")
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), axis_names=("seq",))
+
+    vo_a = VisualOdometry(cam, scene.fc, scene.cc, VOConfig(**base))
+    vo_b = VisualOdometry(cam, scene.fc, scene.cc,
+                          VOConfig(**base, ba_temporal_mesh=mesh))
+
+    seeds = synthetic.sample_plane_points(scene, rng, 100, margin=20)
+    vo_a.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+    vo_b.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+
+    poses_a = np.stack([vo_a.process_frame(imgs[i])
+                        for i in range(2, n_frames)])
+    poses_b = np.stack([vo_b.process_frame(imgs[i])
+                        for i in range(2, n_frames)])
+    assert np.all(np.isfinite(poses_b))
+    np.testing.assert_allclose(poses_a, poses_b, atol=1.5e-2)
+
+    # both trajectories at the same accuracy against ground truth
+    gt = np.stack([geo.se3_log(geo.se3_exp(p)) for p in poses_gt[2:]])
+    err_a = np.abs(poses_a - gt).max()
+    err_b = np.abs(poses_b - gt).max()
+    assert err_b < max(2.5 * err_a, 1e-2), (err_a, err_b)
+    assert int(vo_b.lm_valid.sum()) > 50
+
+
+def test_vo_engine_temporal_hybrid_polish(rng):
+    """ba_temporal_mesh with the hybrid default: the joint phase is the
+    motion-only pose polish (landmarks frozen through the temporal
+    solver) and the engine must stay finite and accurate."""
+    import jax
+    from jax.sharding import Mesh
+
+    n_frames = 12
+    scene, poses_gt, imgs, _ = _small_setup(rng, n_frames)
+    tracker = ICGNParams(lv_f=2, lv_l=0, psz=8, maxiter=6)
+    cam = CameraPyramid.create(scene.fc, scene.cc, scene.wh,
+                               tracker.num_levels, tracker.psz)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:4]), axis_names=("seq",))
+    cfg = VOConfig(tracker=tracker, max_landmarks=128, window=4,
+                   keyframe_stride=2, corners_per_kf=128,
+                   min_parallax_px=0.5, ba_mode="hybrid",
+                   ba_temporal_mesh=mesh)
+    vo = VisualOdometry(cam, scene.fc, scene.cc, cfg)
+    seeds = synthetic.sample_plane_points(scene, rng, 100, margin=20)
+    vo.bootstrap(imgs[0], imgs[1], poses_gt[0], poses_gt[1], seeds)
+    poses = np.stack([vo.process_frame(imgs[i]) for i in range(2, n_frames)])
+    assert np.all(np.isfinite(poses))
+    gt = np.stack([geo.se3_log(geo.se3_exp(p)) for p in poses_gt[2:]])
+    assert np.abs(poses - gt).max() < 0.05
