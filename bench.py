@@ -40,6 +40,10 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 import jax
+
+from invcompcamtrack_tpu.utils import jaxcache
+
+jaxcache.enable()
 import jax.numpy as jnp
 
 BASELINE_PAIRS_PER_S = 676.0
@@ -159,15 +163,17 @@ def _count_dispatches(vo):
     return counter
 
 
-def bench_engine_streams(n_streams=4, wh=(960, 540)):
-    """Multi-stream throughput: S independent qHD sequences advanced by
+def bench_engine_streams(n_streams=4, wh=(1280, 720)):
+    """Multi-stream throughput: S independent 720p sequences advanced by
     ONE vmapped device program (vo/engine.py::VisualOdometryBatch) —
-    the frames/s/chip number when the chip is actually kept busy.
+    the frames/s/chip number when the chip is actually kept busy, at the
+    same resolution as the single-stream story.
 
-    qHD (960x540) rather than 720p: under vmap Mosaic double-buffers
-    the VMEM-resident gather planes per stream, and the dual-gather
-    kernel's two 720p planes exceed VMEM with that factor; at qHD every
-    kernel fits.  (Single-stream 720p numbers come from bench_engine.)"""
+    Under vmap Mosaic double-buffers the VMEM-resident gather planes per
+    stream; the fused dual-gather's two 720p planes exceed VMEM with
+    that factor, so VisualOdometryBatch automatically flips
+    ICGNParams.gather_split (split launches, one plane resident each —
+    identical results)."""
     from invcompcamtrack_tpu.config import ICGNParams
     from invcompcamtrack_tpu.core.camera import CameraPyramid
     from invcompcamtrack_tpu.vo import synthetic

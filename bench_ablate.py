@@ -17,6 +17,10 @@ import time
 import numpy as np
 
 import jax
+
+from invcompcamtrack_tpu.utils import jaxcache
+
+jaxcache.enable()
 import jax.numpy as jnp
 
 from invcompcamtrack_tpu.config import ICGNParams

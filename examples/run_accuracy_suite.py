@@ -27,6 +27,10 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 
 import jax
+
+from invcompcamtrack_tpu.utils import jaxcache
+
+jaxcache.enable()
 import jax.numpy as jnp
 
 

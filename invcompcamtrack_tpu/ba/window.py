@@ -67,6 +67,17 @@ class OdoFactors(NamedTuple):
     mask: jnp.ndarray    # (K,) bool — factor k active
     w_t: jnp.ndarray     # scalar: pixel-equivalent weight per unit translation
     w_r: jnp.ndarray     # scalar: pixel-equivalent weight per radian
+    info_sqrt: jnp.ndarray | None = None  # optional (K, 6, 6) square
+    #   root of each factor's full information matrix in the residual
+    #   coordinates: r = info_sqrt[k] @ [t_D, vex(R_D)], so the factor
+    #   cost is ru^T (S^T S) ru.  When set it REPLACES the isotropic
+    #   w_t/w_r weighting — the engine builds it from the photometric
+    #   tracker's own converged GN Hessian (its measured Fisher
+    #   information), so the prior is exactly as stiff as the odometer
+    #   was accurate, per direction (anisotropic: a forward-motion
+    #   odometer is weak along the optical axis and the window
+    #   constraints own that direction; a lateral one is strong and the
+    #   polish cannot degrade it).
 
 
 def odo_residuals(poses: jnp.ndarray, odo: OdoFactors) -> jnp.ndarray:
@@ -86,7 +97,11 @@ def odo_residuals(poses: jnp.ndarray, odo: OdoFactors) -> jnp.ndarray:
     rw = 0.5 * jnp.stack([R[..., 2, 1] - R[..., 1, 2],
                           R[..., 0, 2] - R[..., 2, 0],
                           R[..., 1, 0] - R[..., 0, 1]], axis=-1)
-    r = jnp.concatenate([D[..., 3] * odo.w_t, rw * odo.w_r], axis=-1)
+    if odo.info_sqrt is None:
+        r = jnp.concatenate([D[..., 3] * odo.w_t, rw * odo.w_r], axis=-1)
+    else:
+        ru = jnp.concatenate([D[..., 3], rw], axis=-1)
+        r = jnp.einsum("kij,kj->ki", odo.info_sqrt, ru, precision=_PREC)
     return jnp.where(odo.mask[:, None], r, 0.0)
 
 

@@ -47,6 +47,14 @@ class ICGNParams:
     # (averaged over psz^2 * N samples per GN step).  Only affects the
     # fused TPU path — the exact-parity XLA path ignores it.
     bf16_gather: bool = False
+    # memory: split the per-scale dual gather (ref patches+grads AND
+    # query window cache in one launch) into separate launches so only
+    # ONE image plane is VMEM-resident per kernel.  Results identical;
+    # needed under vmap (the multi-stream engine), where Mosaic
+    # double-buffers the per-stream planes and the fused kernel's two
+    # 720p planes exceed VMEM.  VisualOdometryBatch sets this
+    # automatically from the image size.
+    gather_split: bool = False
 
     @property
     def window_size(self) -> int:

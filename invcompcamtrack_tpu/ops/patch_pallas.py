@@ -294,6 +294,22 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
+def dual_gather_fits_vmapped(H: int, W: int, win: int) -> bool:
+    """Would the fused dual gather's two resident planes fit VMEM when
+    Mosaic double-buffers them under vmap (the multi-stream engine)?
+    Mirrors gather_ref_grad_and_windows' plane geometry; the engine
+    flips ICGNParams.gather_split when this says no."""
+    span = win  # span = max(psz + 3, win) and win = psz + 8 > psz + 3
+    two_phase = _use_two_phase(H, W, span, n_planes=2) \
+        and (win + _PHASE <= _LANES)
+    Hp, Wp = _padded_geom(H, W, span, two_phase)
+    pair = 2 * (2 if two_phase else 1) * Hp * Wp * 4
+    # empirical anchors on the 16 MB VMEM: qHD fused+vmapped works
+    # (2x5.5 = 11.05 MB of planes), 720p fails (2x9.1 = 18.3 MB); the
+    # 14 MB line splits them with margin for outputs + SMEM
+    return 2 * pair <= 14 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("psz", "padding", "patch_norm"))
 def gather_patches_grad(img: jnp.ndarray, dx: jnp.ndarray, dy: jnp.ndarray,
                         centers: jnp.ndarray, psz: int, padding: int,
@@ -391,24 +407,29 @@ def _kernel_grad_window(psz, padding, H, W, win, lanes, idx_ref, w_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("psz", "padding", "win",
-                                             "patch_norm"))
+                                             "patch_norm", "force_split"))
 def gather_ref_grad_and_windows(ref_img: jnp.ndarray, query_img: jnp.ndarray,
                                 centers: jnp.ndarray, origins: jnp.ndarray,
                                 psz: int, padding: int, win: int,
-                                patch_norm: bool = False):
+                                patch_norm: bool = False,
+                                force_split: bool = False):
     """Fused per-scale gather: (p_img, p_dx, p_dy) reference patches at
     sub-pixel ``centers`` from ``ref_img`` plus (win, win) integer-origin
     query windows from ``query_img`` — one kernel launch, one point loop.
 
     Falls back to two separate launches when the two resident planes
-    don't fit VMEM together.
+    don't fit VMEM together, or when ``force_split`` is set (the vmapped
+    multi-stream engine: Mosaic double-buffers the per-stream planes, so
+    the fused kernel's VMEM check — which cannot see the vmap from in
+    here — under-counts by 2x at large frames; ICGNParams.gather_split).
     """
     span = max(psz + 3, win)
     H, W = ref_img.shape
     two_phase = _use_two_phase(H, W, span, n_planes=2) \
         and (win + _PHASE <= _LANES)
     Hp_geom, Wp_geom = _padded_geom(H, W, span, two_phase)
-    if 2 * (2 if two_phase else 1) * Hp_geom * Wp_geom * 4 > _VMEM_BUDGET:
+    if force_split or \
+            2 * (2 if two_phase else 1) * Hp_geom * Wp_geom * 4 > _VMEM_BUDGET:
         p_img, p_dx, p_dy = gather_patches_grad(
             ref_img, ref_img, ref_img, centers, psz, padding,
             patch_norm=patch_norm)

@@ -62,6 +62,12 @@ class ICGNAux(NamedTuple):
     iters: jnp.ndarray        # (S,) iterations executed per scale
     normdp: jnp.ndarray       # (S,) final |dp|_1 per scale
     valid_ref: jnp.ndarray    # (S,) number of in-frustum reference points
+    hessian: jnp.ndarray | None = None  # (..., 6, 6) finest-scale GN
+    #   normal matrix, mapped back to the CALLER pose coordinates
+    #   (donorm unfolded).  This is the photometric Fisher information
+    #   of the measured pose up to the 1/sigma_I^2 image-noise factor —
+    #   the information-weighted odometry prior of the window BA
+    #   (vo/engine.py) is built from it.
 
 
 def sd_jacobian_rows(Xc, fx, fy):
@@ -169,6 +175,7 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
             level_ref.img, level_new.img, uv_ref, origins, cfg.psz,
             cam_level_padding(cfg), cfg.window_size,
             patch_norm=cfg.dopatchnorm,
+            force_split=cfg.gather_split,
         )
     else:
         p_img, p_dx, p_dy = extract_patches_grad(
@@ -329,7 +336,7 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         jnp.ones(lead, bool),
     )
     it, p_out, _G, normdp, _, _ = jax.lax.while_loop(cond, body, init)
-    return p_out, (it, normdp, jnp.sum(valid_ref, axis=-1))
+    return p_out, (it, normdp, jnp.sum(valid_ref, axis=-1), H)
 
 
 def cam_level_padding(cfg: ICGNParams) -> int:
@@ -374,8 +381,9 @@ def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
         uv_ref[s] = pose_ops.project_points(G0, Xn, fx, fy, cx, cy)
 
     iters, normdps, validcnt = [], [], []
+    H_fine = None
     for s in range(cfg.lv_f, cfg.lv_l - 1, -1):  # coarse -> fine
-        p, (it, ndp, vc) = _track_one_scale(
+        p, (it, ndp, vc, H_fine) = _track_one_scale(
             pyr_ref[s], pyr_new[s], Xn, Xc_ref, uv_ref[s], p, cam.level(s), cfg,
             point_mask=point_mask, scale_index=s,
         )
@@ -387,10 +395,25 @@ def track_pose(pyr_ref: Pyramid, pyr_new: Pyramid, X: jnp.ndarray,
         p = pose_ops.unnormalize_pose(p, mean, varval)
 
     if return_aux:
+        if cfg.donorm:
+            # the GN Hessian lives in NORMALIZED pose coordinates
+            # p_n = normalize_pose(p, mean, varval); map it back:
+            # cost = dp_n^T H dp_n, dp_n = B dp  =>  H_u = B^T H B
+            def _jac6(q, m, v):
+                return jax.jacfwd(
+                    lambda z: pose_ops.normalize_pose(z, m, v))(q)
+
+            jacf = _jac6
+            for _ in range(p.ndim - 1):
+                jacf = jax.vmap(jacf)
+            B = jacf(p, mean, varval)
+            H_fine = jnp.einsum("...ji,...jk,...kl->...il", B, H_fine, B,
+                                precision=jax.lax.Precision.HIGHEST)
         aux = ICGNAux(
             iters=jnp.stack(iters),
             normdp=jnp.stack(normdps),
             valid_ref=jnp.stack(validcnt),
+            hessian=H_fine,
         )
         return p, aux
     return p

@@ -90,13 +90,20 @@ class VOConfig:
     #                              quality from the structure phase, drift
     #                              repair from the joint phase
     ba_struct_iters: int = 6     # hybrid: iterations of the structure pre-pass
-    ba_joint_motion_only: bool = True  # hybrid: the joint phase refines
-    #   POSES only (landmarks frozen at the structure-phase result).
-    #   Joint landmark steps go through the eig-floored H_ll pseudo-
-    #   inverse, whose f32 eigh noise (amplified by 1/lambda_min on
-    #   low-parallax landmarks) was measured to poison whole-window
-    #   accept/reject on TPU; motion-only pose polish is robust by
-    #   construction and the structure phase owns the map.
+    ba_joint_motion_only: bool = False  # hybrid: when True, the joint
+    #   phase refines POSES only (landmarks frozen at the structure-
+    #   phase result).  Round-3 shipped True: batched f32
+    #   jnp.linalg.eigh (iterative Jacobi) noise on near-singular H_ll
+    #   blocks, amplified by 1/lambda_min on low-parallax landmarks,
+    #   was measured to poison whole-window accept/reject on TPU.  The
+    #   round-4 closed-form Cardano 3x3 eigensolver (ops/linalg.py::
+    #   sym3x3_eigh) removed that failure: TPU-f32 joint solves now
+    #   agree with CPU (pose agreement 1.3e-4 on the refined-map probe)
+    #   and enabling joint landmark steps in the polish measured BETTER
+    #   on forward scenes (corridor-fwd ATE 0.0336 -> 0.0282) and
+    #   identical on lateral ones (the forwardness gate vetoes the
+    #   polish there) — so the default is now False.  docs/parity.md
+    #   deviation 8.
     polish_max_parallax_deg: float = 1.5  # hybrid: observability gate on
     #   the pose polish.  When the window's mean triangulation angle is
     #   HIGH, the map is well-observed and the photometric odometer is
@@ -107,6 +114,16 @@ class VOConfig:
     #   multi-frame window constraints carry real information
     #   (measured: forward ATE 0.094 -> 0.058).  The polish therefore
     #   runs only below this mean-parallax threshold.
+    polish_min_forwardness: float = 0.7  # hybrid: motion-direction gate
+    #   on the pose polish, AND-combined with the parallax gate.
+    #   Forwardness = the window's translation fraction along the
+    #   optical axis (0 = pure lateral, 1 = pure forward).  The polish
+    #   exists to repair the odometer's forward-drift mode; under
+    #   LATERAL motion the odometer is well-conditioned and deep scenes
+    #   can still sit under the parallax threshold (measured: the 720p
+    #   plane-sweep bench scenario, ~1.3 deg mean parallax, regressed
+    #   ATE 0.0048 -> 0.0149 with the parallax gate alone).  Sweep table
+    #   in ACCURACY.md.  Set to 0 to disable (parallax gate only).
     ba_lm_step_clip: float = 0.1  # per-BA-iteration landmark trust region,
     #                               fraction of distance to nearest camera
     ba_lm_eig_floor: float = 5e-3  # spectral observability cutoff on H_ll:
@@ -119,6 +136,21 @@ class VOConfig:
     #   quality when the window's structure is weak/young
     odo_sigma_t: float = 0.01    # odometry 1-sigma translation (world units)
     odo_sigma_r: float = 0.001   # odometry 1-sigma rotation (radians)
+    odo_info_weighted: bool = False  # weight each odometry-prior factor
+    #   by the photometric tracker's own converged GN Hessian divided by
+    #   the measured residual variance — its Fisher information, per
+    #   direction.  The prior is then exactly as stiff as the odometer
+    #   was accurate: a lateral-motion odometer (strong in every
+    #   direction) cannot be degraded by the pose polish, while a
+    #   forward-motion one is weak along the optical axis and the
+    #   window's multi-frame constraints own that direction.  Replaces
+    #   the isotropic odo_sigma_t/odo_sigma_r weighting (which remains
+    #   the fallback for factors without recorded information, e.g.
+    #   bootstrap keyframes).
+    odo_info_px_sigma: float = 0.3  # assumed 1-sigma of the window's LK
+    #   reprojection observations (px).  BA residuals enter unweighted
+    #   (unit-noise-pixel convention), so the photometric information is
+    #   scaled by px_sigma^2 to share that convention.
     ba_debug: bool = False       # jax.debug.print per-keyframe BA costs
     #   (the engine analogue of the reference's verbosity=2 per-iteration
     #   prints, reference: odometer.cpp:416-417)
@@ -153,6 +185,13 @@ class VOState(NamedTuple):
     kf_rel: jnp.ndarray       # (K, 3, 4) measured relative pose from ring
     #                           slot (k-1)%K to slot k (photometric odometry)
     kf_rel_valid: jnp.ndarray  # (K,) bool
+    kf_rel_info: jnp.ndarray  # (K, 6, 6) photometric Fisher information
+    #                           of slot k's rel measurement, in pose-
+    #                           coefficient coordinates (tracker GN
+    #                           Hessian / sigma_I^2, scaled to the BA's
+    #                           unit-noise-pixel convention); zeros when
+    #                           not recorded (bootstrap) -> isotropic
+    #                           fallback weighting
     kf_pyr: Tuple[PyramidLevel, ...]  # per level: fields (K, H_s, W_s)
     kf_ptr: jnp.ndarray       # () int32, newest keyframe slot
     cur_pose: jnp.ndarray     # (6,)
@@ -197,13 +236,20 @@ def _row_get(arr, slot):
 
 
 def _track_frame(state: VOState, pyr: Pyramid, cam: CameraPyramid,
-                 cfgt: ICGNParams):
+                 cfgt: ICGNParams, want_info: bool = False,
+                 px_sigma: float = 0.3):
     """IC-GN track the new frame against the newest keyframe's map.
 
     IC-GN semantics: the init pose must be the pose of the *reference
     image* — its patches are sampled at init-pose projections
     (reference: odometer.cpp:241-255; the chains in
     run_track_nposes.cpp:229-246 thread poses the same way).
+
+    With ``want_info``, also returns the tracker's (6, 6) Fisher
+    information at convergence: the finest-scale GN Hessian (caller
+    coordinates) divided by the measured photometric residual variance
+    at the final pose and scaled by ``px_sigma^2`` into the BA's
+    unit-noise-pixel convention (VOConfig.odo_info_weighted).
     """
     fx, fy, cx, cy, swo, sho = cam.level(0)
     ref_pyr = _index_pyr(state.kf_pyr, state.kf_ptr)
@@ -212,8 +258,48 @@ def _track_frame(state: VOState, pyr: Pyramid, cam: CameraPyramid,
     uv = pose_ops.project_points(G, state.landmarks, fx, fy, cx, cy)
     uv = jnp.where(jnp.isfinite(uv), uv, -1.0)
     vis = pose_ops.in_frustum(uv, swo, sho) & state.lm_valid
-    return track_pose(ref_pyr, pyr, state.landmarks, pose_ref, cam, cfgt,
-                      point_mask=vis)
+    if not want_info:
+        return track_pose(ref_pyr, pyr, state.landmarks, pose_ref, cam,
+                          cfgt, point_mask=vis)
+    p_new, aux = track_pose(ref_pyr, pyr, state.landmarks, pose_ref, cam,
+                            cfgt, point_mask=vis, return_aux=True)
+
+    # photometric residual variance at convergence (finest level): the
+    # sigma_I^2 that turns the GN Hessian into Fisher information.
+    # One extra patch-pair extraction per keyframe — negligible next to
+    # the BA that consumes the result.
+    from invcompcamtrack_tpu.image.patch import extract_patches
+    from invcompcamtrack_tpu.solver.icgn import cam_level_padding
+
+    G_new = lie.se3_exp(p_new)
+    uv_r, Xc_r = pose_ops.project_points(G, state.landmarks, fx, fy, cx, cy,
+                                         return_cam=True)
+    uv_n, Xc_n = pose_ops.project_points(G_new, state.landmarks, fx, fy,
+                                         cx, cy, return_cam=True)
+    ok = (vis & pose_ops.in_frustum(uv_r, swo, sho) & (Xc_r[..., 2] > 0)
+          & pose_ops.in_frustum(uv_n, swo, sho) & (Xc_n[..., 2] > 0)
+          & jnp.all(jnp.isfinite(uv_r) & jnp.isfinite(uv_n), axis=-1))
+    uv_r = jnp.where(ok[..., None], uv_r, 0.0)
+    uv_n = jnp.where(ok[..., None], uv_n, 0.0)
+    pad = cam_level_padding(cfgt)
+    pr = extract_patches(ref_pyr[0].img, uv_r, cfgt.psz, pad,
+                         patch_norm=cfgt.dopatchnorm)
+    pn = extract_patches(pyr[0].img, uv_n, cfgt.psz, pad,
+                         patch_norm=cfgt.dopatchnorm)
+    d = (pr - pn) * ok[..., None, None].astype(pr.dtype)
+    npix = cfgt.psz * cfgt.psz
+    cnt = jnp.maximum(jnp.sum(ok) * npix, 1)
+    sigma2_img = jnp.sum(d * d) / cnt
+    # floor: exact synthetic renders can converge to ~0 residual, which
+    # would claim infinite odometry information; 1e-4 of the image
+    # dynamic range squared keeps the info finite without mattering on
+    # real imagery
+    rng_img = jnp.maximum(
+        jnp.max(jnp.abs(ref_pyr[0].img)), jnp.asarray(1.0, pr.dtype))
+    sigma2_img = jnp.maximum(sigma2_img, (1e-4 * rng_img) ** 2)
+    info = aux.hessian * (px_sigma ** 2) / sigma2_img
+    info = jnp.where(jnp.isfinite(info), info, 0.0)
+    return p_new, info
 
 
 class _ReobsOut(NamedTuple):
@@ -425,7 +511,7 @@ def _joint_ba_temporal(cfg: VOConfig, prob: BAProblem, kf_rel,
 
 def _promote_commit(state: VOState, pyr: Pyramid, p_new,
                     cam: CameraPyramid, cfg: VOConfig,
-                    tri: _TriOut) -> VOState:
+                    tri: _TriOut, rel_info=None) -> VOState:
     """Promote parts 3-4: ring write, gross-outlier gating, windowed BA,
     post-BA retirement."""
     K = cfg.window
@@ -455,6 +541,10 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
     rel_new = lie.se3_compose(G_new, lie.se3_inverse(G_prev))
     kf_rel = _row_set(state.kf_rel, new_slot, rel_new)
     kf_rel_valid = state.kf_rel_valid.at[new_slot].set(True)
+    kf_rel_info = _row_set(
+        state.kf_rel_info, new_slot,
+        rel_info if rel_info is not None
+        else jnp.zeros((6, 6), state.kf_rel_info.dtype))
 
     # a landmark observed by NO keyframe left in the window is
     # unreachable for BA and for re-observation chains — retire it
@@ -513,7 +603,25 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
     ang = jnp.arccos(jnp.clip(cosg, -1.0, 1.0))
     mean_parallax = jnp.sum(jnp.where(lm_valid, ang, 0.0)) / jnp.maximum(
         jnp.sum(lm_valid), 1)
-    polish_on = mean_parallax < jnp.deg2rad(cfg.polish_max_parallax_deg)
+    # motion-direction statistic for the forwardness gate: the window's
+    # displacement-weighted translation fraction along the optical axis
+    # (camera-frame z of each keyframe-to-keyframe center displacement)
+    kf_centers = jax.vmap(
+        lambda p: lie.camera_center(lie.se3_exp(p)))(kf_poses)   # (K, 3)
+    dc = kf_centers - jnp.roll(kf_centers, 1, axis=0)            # (K, 3)
+    R_k = jax.vmap(lambda p: lie.se3_exp(p)[:, :3])(kf_poses)
+    dc_cam = jnp.einsum("kij,kj->ki", R_k, dc)
+    step_len = jnp.linalg.norm(dc, axis=1)
+    f_ok = (kf_valid & jnp.roll(kf_valid, 1)
+            & (slots_all != (new_slot + 1) % K))   # skip the ring wrap
+    wsum = jnp.sum(jnp.where(f_ok, step_len, 0.0))
+    forwardness = jnp.sum(
+        jnp.where(f_ok, jnp.abs(dc_cam[:, 2]), 0.0)) / jnp.maximum(
+        wsum, 1e-12)
+    polish_on = (
+        (mean_parallax < jnp.deg2rad(cfg.polish_max_parallax_deg))
+        & (forwardness >= cfg.polish_min_forwardness)
+    )
 
     odo = None
     if cfg.ba_mode in ("full", "hybrid") and cfg.odo_prior:
@@ -523,12 +631,66 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
         # and must be masked out.
         pred_valid = jnp.roll(kf_valid, 1)
         oldest = (new_slot + 1) % K
+        info_sqrt = None
+        if cfg.odo_info_weighted:
+            # per-factor FULL information from the tracker's converged
+            # Hessian (kf_rel_info, pose-coefficient coords of slot k).
+            # The factor residual lives in discrepancy coordinates
+            # r_u(D), D = G_k G_{k-1}^{-1} rel^{-1}; information
+            # transforms by the inverse residual Jacobian A = dr_u/dp_k
+            # (holding p_{k-1}): W_r = A^{-T} W_p A^{-1}.
+            dt = kf_rel.dtype
+            I6 = jnp.eye(6, dtype=dt)
+            W_iso = jnp.diag(jnp.concatenate([
+                jnp.full((3,), (1.0 / cfg.odo_sigma_t) ** 2, dt),
+                jnp.full((3,), (1.0 / cfg.odo_sigma_r) ** 2, dt)]))
+
+            def _fsqrt(rel_k, p_k, p_prev, W_p):
+                def r_of_pk(pk):
+                    Gk = lie.se3_exp(pk)
+                    D = lie.se3_compose(
+                        lie.se3_compose(Gk,
+                                        lie.se3_inverse(lie.se3_exp(p_prev))),
+                        lie.se3_inverse(rel_k))
+                    R = D[:, :3]
+                    rw = 0.5 * jnp.stack([R[2, 1] - R[1, 2],
+                                          R[0, 2] - R[2, 0],
+                                          R[1, 0] - R[0, 1]])
+                    return jnp.concatenate([D[:, 3], rw])
+
+                A = jax.jacfwd(r_of_pk)(p_k)
+                Ainv = jnp.linalg.solve(A + 1e-8 * I6, I6)
+                Wp_s = 0.5 * (W_p + W_p.T)
+                W_r = Ainv.T @ Wp_s @ Ainv
+                W_r = 0.5 * (W_r + W_r.T)
+                # SUM with the isotropic prior, don't replace it: the
+                # photometric Hessian measures the odometer's NOISE but
+                # not its correlated model error (LK bias under forward
+                # flow deformation), so along weakly-observed axes the
+                # measured info can approach zero and let the window's
+                # overconfident independent-noise LK factors drag the
+                # pose (measured: corridor-fwd ATE 0.051 -> 0.071 with
+                # replacement).  The iso term is the correlated-error
+                # floor; the photometric term adds the per-direction
+                # stiffness that protects well-measured axes (measured:
+                # plane-sweep ATE restored 0.0233 -> 0.0167).
+                W = W_iso + jnp.where(jnp.trace(Wp_s) > 0, W_r, 0.0)
+                ridge = 1e-6 * jnp.trace(W) / 6.0 + 1e-12
+                Lc = jnp.linalg.cholesky(W + ridge * I6)
+                S = jnp.swapaxes(Lc, -1, -2)  # W = S^T S
+                return jnp.where(jnp.all(jnp.isfinite(S)), S,
+                                 jnp.sqrt(W_iso))
+
+            info_sqrt = jax.vmap(_fsqrt)(
+                kf_rel, kf_poses, jnp.roll(kf_poses, 1, axis=0),
+                kf_rel_info)
         odo = OdoFactors(
             rel=kf_rel,
             mask=(kf_rel_valid & kf_valid & pred_valid
                   & (slots_all != oldest)),
             w_t=jnp.asarray(1.0 / cfg.odo_sigma_t, kf_rel.dtype),
             w_r=jnp.asarray(1.0 / cfg.odo_sigma_r, kf_rel.dtype),
+            info_sqrt=info_sqrt,
         )
 
     if cfg.ba_mesh is not None:
@@ -612,13 +774,13 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
         landmarks=landmarks, lm_valid=lm_valid, lm_fail=lm_fail,
         kf_poses=kf_poses, kf_valid=kf_valid,
         kf_obs=kf_obs, kf_obs_mask=kf_obs_mask, kf_pyr=kf_pyr,
-        kf_rel=kf_rel, kf_rel_valid=kf_rel_valid,
+        kf_rel=kf_rel, kf_rel_valid=kf_rel_valid, kf_rel_info=kf_rel_info,
         kf_ptr=new_slot, cur_pose=cur_pose,
     )
 
 
 def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
-             cfg: VOConfig) -> VOState:
+             cfg: VOConfig, rel_info=None) -> VOState:
     """Fused keyframe promotion: measured re-observation of the map,
     corner triangulation into free slots, ring eviction, windowed BA.
 
@@ -627,7 +789,8 @@ def _promote(state: VOState, pyr: Pyramid, p_new, cam: CameraPyramid,
     staying parity-by-construction with this fused path."""
     ro = _promote_reobserve(state, pyr, p_new, cam, cfg)
     tri = _promote_triangulate(state, pyr, p_new, cam, cfg, ro)
-    return _promote_commit(state, pyr, p_new, cam, cfg, tri)
+    return _promote_commit(state, pyr, p_new, cam, cfg, tri,
+                           rel_info=rel_info)
 
 
 def _track_step(state: VOState, img, cam: CameraPyramid, cfg: VOConfig):
@@ -641,8 +804,13 @@ def _track_step(state: VOState, img, cam: CameraPyramid, cfg: VOConfig):
 def _keyframe_step(state: VOState, img, cam: CameraPyramid, cfg: VOConfig):
     """One fused keyframe frame: pyramid + track + promote + BA."""
     pyr = build_pyramid(img, cfg.tracker.num_levels, cfg.tracker.psz)
-    p_new = _track_frame(state, pyr, cam, cfg.tracker)
-    state = _promote(state, pyr, p_new, cam, cfg)
+    if cfg.odo_info_weighted:
+        p_new, rel_info = _track_frame(state, pyr, cam, cfg.tracker,
+                                       want_info=True,
+                                       px_sigma=cfg.odo_info_px_sigma)
+    else:
+        p_new, rel_info = _track_frame(state, pyr, cam, cfg.tracker), None
+    state = _promote(state, pyr, p_new, cam, cfg, rel_info=rel_info)
     state = state._replace(frame_idx=state.frame_idx + 1)
     return state, state.cur_pose
 
@@ -719,8 +887,22 @@ class VisualOdometryBatch:
             if e.state is None:
                 raise ValueError("bootstrap every engine first")
         self.engines = engines
-        self.cfg = cfg0
         cam = engines[0].cam
+        # under vmap Mosaic double-buffers the per-stream VMEM planes,
+        # so the fused dual-gather kernel (two resident planes) exceeds
+        # VMEM at large frames where a single stream fits — force the
+        # split-launch path (one plane per kernel) when the fused pair
+        # would not fit twice.  Results are identical (same taps).
+        tr = cfg0.tracker
+        if not tr.gather_split:
+            from invcompcamtrack_tpu.ops.patch_pallas import (
+                dual_gather_fits_vmapped)
+            H0, W0 = engines[0].state.kf_pyr[0].img.shape[-2:]
+            if not dual_gather_fits_vmapped(int(H0), int(W0),
+                                            tr.window_size):
+                cfg0 = dataclasses.replace(
+                    cfg0, tracker=dataclasses.replace(tr, gather_split=True))
+        self.cfg = cfg0
         self.states = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[e.state for e in engines]
         )
@@ -776,6 +958,7 @@ def make_empty_state(cfg: VOConfig, wh, dtype=jnp.float32) -> VOState:
             jnp.eye(3, 4, dtype=dtype), (K, 3, 4)
         ).copy(),
         kf_rel_valid=jnp.zeros((K,), bool),
+        kf_rel_info=jnp.zeros((K, 6, 6), dtype),
         kf_pyr=kf_pyr,
         kf_ptr=jnp.zeros((), jnp.int32),
         cur_pose=jnp.zeros((6,), dtype),

@@ -361,3 +361,48 @@ def test_ba_repairs_triangulation_depth_noise(rng):
     err_in = float(jnp.sqrt(jnp.mean((lms - X_gt) ** 2)))
     err_out = float(jnp.sqrt(jnp.mean((l_out - X_gt) ** 2)))
     assert err_out < err_in / 100.0, (err_in, err_out)
+
+
+def test_odo_info_sqrt_matches_isotropic(rng):
+    """OdoFactors.info_sqrt with a diagonal sqrt diag(w_t, w_r) must
+    reproduce the legacy isotropic weighting exactly, and a full
+    anisotropic info matrix must weight the factor cost as
+    ru^T (S^T S) ru."""
+    import jax
+    from invcompcamtrack_tpu.ba.window import OdoFactors, odo_residuals
+    from invcompcamtrack_tpu.core import lie
+    import jax.numpy as jnp
+
+    K = 5
+    poses = jnp.asarray(rng.normal(size=(K, 6)) * 0.1)
+    G = jax.vmap(lie.se3_exp)(poses)
+    rel = lie.se3_compose(G, lie.se3_inverse(jnp.roll(G, 1, axis=0)))
+    # perturb the measurements so residuals are nonzero
+    rel = rel.at[:, :, 3].add(jnp.asarray(rng.normal(size=(K, 3)) * 0.01))
+    mask = jnp.asarray([False, True, True, True, True])
+    w_t, w_r = 37.0, 113.0
+
+    iso = OdoFactors(rel=rel, mask=mask, w_t=jnp.asarray(w_t),
+                     w_r=jnp.asarray(w_r))
+    S = jnp.broadcast_to(jnp.diag(jnp.asarray([w_t] * 3 + [w_r] * 3)),
+                         (K, 6, 6))
+    info = OdoFactors(rel=rel, mask=mask, w_t=jnp.asarray(w_t),
+                      w_r=jnp.asarray(w_r), info_sqrt=S)
+    np.testing.assert_allclose(np.asarray(odo_residuals(poses, iso)),
+                               np.asarray(odo_residuals(poses, info)),
+                               rtol=1e-12)
+
+    # full matrix: r^T r == ru^T W ru with W = S^T S
+    A = rng.normal(size=(K, 6, 6))
+    S_full = jnp.asarray(np.triu(A))  # any square root works
+    ones = OdoFactors(rel=rel, mask=mask, w_t=jnp.asarray(1.0),
+                      w_r=jnp.asarray(1.0))
+    ru = np.asarray(odo_residuals(poses, ones))  # unweighted coords
+    fact = OdoFactors(rel=rel, mask=mask, w_t=jnp.asarray(1.0),
+                      w_r=jnp.asarray(1.0), info_sqrt=S_full)
+    r = np.asarray(odo_residuals(poses, fact))
+    W = np.einsum("kji,kjl->kil", np.asarray(S_full), np.asarray(S_full))
+    np.testing.assert_allclose(
+        np.sum(r * r, axis=-1),
+        np.einsum("ki,kij,kj->k", ru, W, ru) * np.asarray(mask),
+        rtol=1e-9, atol=1e-12)
