@@ -729,16 +729,28 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
                                 k=state.frame_idx, a=es0, b=es)
         if cfg.ba_mode in ("full", "hybrid"):
             # joint phase: odometry-prior fused; in hybrid the landmarks
-            # stay frozen (pose polish) unless configured otherwise
+            # stay frozen (pose polish) unless configured otherwise.
+            # The joint solve starts from the RAW window landmarks, NOT
+            # the structure-phase output: the structure pre-pass drives
+            # the window to its poses-fixed conditional minimum, where
+            # the joint LM's first steps are cost-flat and get rejected
+            # — measured on corridor-fwd (200 fr): joint-from-refined
+            # collapses hybrid to structure exactly (ATE 0.2071) while
+            # joint-from-raw reaches full's 0.1488.  Hybrid is therefore
+            # gate ? joint-from-raw : structure.
             mo = cfg.ba_mode == "hybrid" and cfg.ba_joint_motion_only
+            # motion-only polish: landmarks are frozen, so the flat-
+            # valley rejection cannot occur — polish against the
+            # REFINED map (the better pose target).
+            joint_prob = prob._replace(landmarks=lms) if mo else prob
             if cfg.ba_temporal_mesh is not None:
                 # long-window product path: keyframe-sharded SP solve
                 poses_j, lms_j, (ej, ej0) = _joint_ba_temporal(
-                    cfg, prob._replace(landmarks=lms), kf_rel,
+                    cfg, joint_prob, kf_rel,
                     kf_rel_valid, kf_valid, new_slot, mo)
             else:
                 poses_j, lms_j, (ej, ej0) = _ba(
-                    prob._replace(landmarks=lms),
+                    joint_prob,
                     num_iters=cfg.ba_iters, huber_delta=cfg.huber_px,
                     lm_step_clip=cfg.ba_lm_step_clip,
                     per_landmark_accept=False,
