@@ -101,6 +101,20 @@ def path_plane_sweep(n):
     return np.stack(poses)
 
 
+def path_sweep_local(n):
+    """Oscillating lateral sweep (x amplitude ~1.2 units) that KEEPS a
+    fixed map in view — the high-parallax refinement scenario: lateral
+    baselines make landmark positions fully observable, so point
+    refinement can actually repair an injected map error (unlike the
+    forward corridor, where depth is unobservable along the rays)."""
+    poses = [np.zeros(6)]
+    w = 2 * np.pi * 2.0 / n
+    for i in range(1, n):
+        dx = 1.2 * w * np.cos(i * w)
+        poses.append(poses[-1] + np.r_[dx, 0.0, 0.0, 0.0, 0.0, 0.0])
+    return np.stack(poses)
+
+
 def _surface_rms(scene, landmarks, valid):
     """RMS distance of the live map to the true scene surfaces (the
     point-refinement quality the reference's log tracks)."""
@@ -225,6 +239,11 @@ def main():
     ap.add_argument("--quick", action="store_true",
                     help="short sequences (CI smoke)")
     ap.add_argument("--out", default="ACCURACY.md")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated sequence names to (re)run")
+    ap.add_argument("--merge", action="store_true",
+                    help="keep accuracy_log.json rows of sequences not "
+                         "re-run (combine with --only)")
     args = ap.parse_args()
     q = 4 if args.quick else 1
 
@@ -237,8 +256,12 @@ def main():
     # new triangulations, no retirement; the map can only improve
     # through point refinement (reference: misc_src/pose_tracking_acc
     # .txt "without / with 3d point position refinement")
+    # FIXED map: refinement A/B only.  The re-observation and BA
+    # residual gates are opened wide: the injected map error projects to
+    # ~sigma*f/z px (16 px at plane depth) and the default gates would
+    # reject exactly the measurements refinement needs to see.
     fixedmap_ov = {"min_parallax_px": 1e9, "max_obs_fail": 10 ** 6,
-                   "reobs_gate_px": 8.0}  # FIXED map: refinement A/B only
+                   "reobs_gate_px": 48.0, "ba_obs_gate_px": 48.0}
     seqs = [
         ("corridor-fwd", corridor, synthetic.render_corridor,
          synthetic.sample_corridor_points, path_corridor_fwd(200 // q),
@@ -252,10 +275,18 @@ def main():
         ("corridor-noisymap", corridor, synthetic.render_corridor,
          synthetic.sample_corridor_points, path_corridor_fwd(200 // q),
          False, 0.25, fixedmap_ov, ["off", "structure", "hybrid"]),
+        ("plane-noisymap", plane, synthetic.render,
+         lambda s, r, n: synthetic.sample_plane_points(s, r, n, margin=24),
+         path_sweep_local(160 // q), False, 0.25, fixedmap_ov,
+         ["off", "structure", "hybrid"]),
         ("corridor-selfinit", corridor, synthetic.render_corridor,
          synthetic.sample_corridor_points, path_corridor_fwd(100 // q),
          True, 0.0, None, None),
     ]
+
+    if args.only:
+        keep = set(args.only.split(","))
+        seqs = [s for s in seqs if s[0] in keep]
 
     rows = []
     sweep_rows = []
@@ -294,6 +325,15 @@ def main():
                 r["sweep"] = tag
                 sweep_rows.append(r)
                 print(json.dumps(r))
+
+    if args.merge and os.path.exists("accuracy_log.json"):
+        with open("accuracy_log.json") as f:
+            old = json.load(f)
+        ran = {s[0] for s in seqs}
+        rows = [r for r in old.get("rows", [])
+                if r["sequence"] not in ran] + rows
+        sweep_rows = [r for r in old.get("polish_gate_sweep", [])
+                      if r["sequence"] not in ran] + sweep_rows
 
     with open("accuracy_log.json", "w") as f:
         json.dump({"device": str(jax.devices()[0]), "rows": rows,
@@ -343,21 +383,30 @@ sequence runs under four BA modes:
 - `structure`: poses from the odometer; BA refines the LANDMARK map
   against measured observations (exact per-landmark LM),
 - `full`: joint pose+point windowed BA with odometry-prior factors,
-- `hybrid` (the engine DEFAULT): structure refinement pre-pass (exact
-  per-landmark accept), then a joint pose+landmark polish fused with
-  odometry priors, gated by window observability — the polish runs only
-  when the window's mean triangulation angle is low AND the motion is
+- `hybrid` (the engine DEFAULT): observability-routed BA.  When the
+  window's mean triangulation angle is low AND the motion is
   predominantly forward (`polish_max_parallax_deg` /
-  `polish_min_forwardness`), where the photometric odometer drifts
-  along its unobservable directions and the multi-frame constraints
-  carry real information; under lateral motion the refined map plus
-  photometric odometry is already at sub-LK accuracy and the polish is
-  vetoed (hybrid == structure exactly there).
+  `polish_min_forwardness`) — the regime where the photometric odometer
+  drifts along its unobservable directions and multi-frame constraints
+  carry real information — the window runs the JOINT pose+landmark BA
+  from the raw window state, odometry priors fused (== `full`).  Under
+  lateral motion the refined map plus photometric odometry is already
+  at sub-LK accuracy, joint LK-pixel factors would drag it (see the
+  plane-sweep `full` row), and the window runs structure-only
+  refinement instead (hybrid == structure exactly there).  The joint
+  solve deliberately does NOT start from the structure-refined map:
+  measured, that start point is a poses-fixed conditional minimum whose
+  cost-flat joint steps are LM-rejected (docs/parity.md deviation 9).
 
-The `corridor-noisymap` rows run the reference's own refinement
-scenario: a FIXED noisy 3D point set (no new triangulations, no
-retirement), tracked without vs with point refinement — the direct
-analogue of pose_tracking_acc.txt's two sections.
+The `corridor-noisymap` and `plane-noisymap` rows run the reference's
+own refinement scenario: a FIXED noisy 3D point set (no new
+triangulations, no retirement), tracked without vs with point
+refinement — the direct analogue of pose_tracking_acc.txt's two
+sections.  The two variants differ in OBSERVABILITY: the forward
+corridor gives refinement almost no baseline (depth errors lie along
+the rays — the gain there is modest and honest), while the lateral
+`plane-noisymap` sweep makes the injected error fully observable, the
+regime where the reference recorded its ~10x refinement gains.
 
 - ATE RMSE: absolute trajectory error, world units (unaligned for
   GT-bootstrapped runs; Umeyama-aligned with scale for self-init —

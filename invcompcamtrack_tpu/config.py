@@ -55,6 +55,13 @@ class ICGNParams:
     # 720p planes exceed VMEM.  VisualOdometryBatch sets this
     # automatically from the image size.
     gather_split: bool = False
+    # performance (experimental): route the per-scale dual gather through
+    # the prefetch-pipelined kernel (ops/patch_prefetch.py): HBM-resident
+    # row-shifted plane stacks + scalar-prefetched per-point block DMA,
+    # so loads overlap the kernel body and VMEM holds only in-flight
+    # blocks (no plane-size limit, no gather_split interplay).  Bit-
+    # identical outputs; ignored off-TPU and for unsupported geometries.
+    gather_prefetch: bool = False
 
     @property
     def window_size(self) -> int:

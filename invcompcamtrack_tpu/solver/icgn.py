@@ -171,12 +171,24 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         )
         origins = window_origin(uv_entry, cfg.psz, cfg.window_size,
                                 cam_level_padding(cfg))
-        p_img, p_dx, p_dy, qwin = gather_ref_grad_and_windows(
-            level_ref.img, level_new.img, uv_ref, origins, cfg.psz,
-            cam_level_padding(cfg), cfg.window_size,
-            patch_norm=cfg.dopatchnorm,
-            force_split=cfg.gather_split,
-        )
+        from invcompcamtrack_tpu.ops import patch_prefetch
+
+        if cfg.gather_prefetch and patch_prefetch.supported(
+                cfg.psz, cfg.window_size, uv_ref.dtype):
+            # prefetch-pipelined variant: per-point block DMA named by
+            # scalar-prefetched index words — bit-identical outputs
+            p_img, p_dx, p_dy, qwin = (
+                patch_prefetch.gather_ref_grad_and_windows_prefetch(
+                    level_ref.img, level_new.img, uv_ref, origins,
+                    cfg.psz, cam_level_padding(cfg), cfg.window_size,
+                    patch_norm=cfg.dopatchnorm))
+        else:
+            p_img, p_dx, p_dy, qwin = gather_ref_grad_and_windows(
+                level_ref.img, level_new.img, uv_ref, origins, cfg.psz,
+                cam_level_padding(cfg), cfg.window_size,
+                patch_norm=cfg.dopatchnorm,
+                force_split=cfg.gather_split,
+            )
     else:
         p_img, p_dx, p_dy = extract_patches_grad(
             level_ref.img, level_ref.dx, level_ref.dy, uv_ref, cfg.psz,
