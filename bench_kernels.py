@@ -82,6 +82,50 @@ def bench_solver_stages(B=256, N=100):
     return out
 
 
+def bench_prefetch_ab(B=256, N=100):
+    """A/B of the shipped dual gather vs the prefetch-pipelined redesign
+    (ops/patch_prefetch.py) at the bench shape — the measurement behind
+    the round-5 dismissal (docs/kernels.md §prefetch).  Asserts the two
+    are bit-identical before timing."""
+    from invcompcamtrack_tpu.config import ICGNParams
+    from invcompcamtrack_tpu.image.pyramid import build_pyramid
+    from invcompcamtrack_tpu.ops import patch_prefetch as pf
+    from invcompcamtrack_tpu.ops.patch_pallas import (
+        gather_ref_grad_and_windows)
+
+    cfg = ICGNParams(lv_f=4, lv_l=0, psz=8, maxiter=10)
+    if not pf.supported(cfg.psz, cfg.window_size, shape=(720, 1280)):
+        return {"prefetch_ab": "unsupported (not on TPU)"}
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 255, (720, 1280)), jnp.float32)
+    pyr = build_pyramid(img, cfg.num_levels, cfg.psz)
+    M = B * N
+    win = cfg.window_size
+    out = {}
+    for lvl in (0, 4):
+        H, W = pyr[lvl].img.shape
+        uv = jnp.asarray(
+            np.c_[rng.uniform(4, W - 24 - 2 * cfg.psz, M),
+                  rng.uniform(4, H - 24 - 2 * cfg.psz, M)], jnp.float32)
+        org = jnp.floor(uv).astype(jnp.int32)
+        f_s = jax.jit(lambda a, b, l=lvl: gather_ref_grad_and_windows(
+            pyr[l].img, pyr[l].img, a, b, cfg.psz, cfg.psz, win))
+        f_p = jax.jit(lambda a, b, l=lvl:
+                      pf.gather_ref_grad_and_windows_prefetch(
+                          pyr[l].img, pyr[l].img, a, b, cfg.psz, cfg.psz,
+                          win))
+        o_s, o_p = f_s(uv, org), f_p(uv, org)
+        err = max(float(jnp.abs(a - b).max()) for a, b in zip(o_s, o_p))
+        assert err == 0.0, f"prefetch not bit-exact: {err}"
+        t_s = timeit(f_s, uv, org, reps=20)
+        t_p = timeit(f_p, uv, org, reps=20)
+        out[f"prefetch_ab_lv{lvl}"] = {
+            "shipped_ns_per_pt": round(t_s * 1e3 / M, 1),
+            "prefetch_ns_per_pt": round(t_p * 1e3 / M, 1),
+            "speedup": round(t_s / t_p, 2)}
+    return out
+
+
 def bench_ncc3(S=64, N=100, wh=(640, 480)):
     """Fused NCC verification scorer vs the XLA path at the RANSAC
     chain-verification shape (S pose samples x N inlier points,
@@ -343,11 +387,14 @@ def main():
     print("ncc3:", ncc)
     stages = bench_solver_stages()
     print("solver stages:", stages)
+    pfab = bench_prefetch_ab()
+    print("prefetch A/B:", pfab)
     eng = bench_engine_stages()
     print("engine stages:", eng)
     print(json.dumps({"metric": "kernel_microbench", "results": results,
                       "collective": coll, "ncc3": ncc,
-                      "solver_stages": stages, "engine_stages": eng}))
+                      "solver_stages": stages, "prefetch_ab": pfab,
+                      "engine_stages": eng}))
 
 
 if __name__ == "__main__":

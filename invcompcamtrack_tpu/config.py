@@ -55,12 +55,14 @@ class ICGNParams:
     # 720p planes exceed VMEM.  VisualOdometryBatch sets this
     # automatically from the image size.
     gather_split: bool = False
-    # performance (experimental): route the per-scale dual gather through
-    # the prefetch-pipelined kernel (ops/patch_prefetch.py): HBM-resident
-    # row-shifted plane stacks + scalar-prefetched per-point block DMA,
-    # so loads overlap the kernel body and VMEM holds only in-flight
-    # blocks (no plane-size limit, no gather_split interplay).  Bit-
-    # identical outputs; ignored off-TPU and for unsupported geometries.
+    # MEASURED-SLOWER alternative (kept as the recorded redesign): route
+    # the per-scale dual gather through the prefetch-pipelined kernel
+    # (ops/patch_prefetch.py): HBM-resident row-shifted plane stacks +
+    # scalar-prefetched per-point block DMA.  Bit-identical outputs, but
+    # 2.1x slower than the shipped kernel on TPU v5e (420 vs 193 ns/pt
+    # at the bench shape — per-point DMA issue cost exceeds the VMEM
+    # dynamic-load chain it replaces; docs/kernels.md §prefetch).
+    # Ignored off-TPU and for unsupported geometries.
     gather_prefetch: bool = False
 
     @property

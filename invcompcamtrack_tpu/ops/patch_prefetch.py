@@ -32,6 +32,19 @@ empirical per-load floor of Mosaic dynamic window loads
 
 Reference hot loops [4]/[8]: odometer.cpp:159,163 (26.1 + 19.9 us per
 100 patches per scale on one core).
+
+MEASURED VERDICT (round 5, TPU v5e, bench shape M=25,600, 720p pyramid;
+docs/kernels.md §"The prefetch-pipelined gather"): **2.1x SLOWER than
+the shipped kernel** — 420 ns/pt end-to-end vs 193 ns/pt (shipped),
+flat across pyramid levels, outputs bit-identical (maxerr 0.0).
+Decomposition: plan (two 24-copy shift stacks, 227 MB HBM) 2.6 ms +
+postpass 1.5 ms + kernel 7.0 ms = 275 ns/pt for the KERNEL ALONE —
+i.e. two per-point HBM block DMAs (~137 ns per descriptor, issue-bound
+at 16 descriptors per grid step) cost more than the shipped kernel's
+entire VMEM load+roll+roll+tap chain (~100 ns per load).  The Pallas
+pipeline cannot hide DMA *issue* cost, only DMA *latency*.  The module
+is kept as the measured record of the one remaining redesign of the
+gather; ``ICGNParams.gather_prefetch`` stays available and off.
 """
 
 from __future__ import annotations
@@ -62,11 +75,28 @@ def prefetch_available(dtype=jnp.float32) -> bool:
     return pallas_available(dtype)
 
 
-def supported(psz: int, win: int, dtype=jnp.float32) -> bool:
+def supported(psz: int, win: int, dtype=jnp.float32,
+              shape: tuple[int, int] | None = None) -> bool:
     """The kernel geometry fixes the shift count at _NSHIFT rows, which
-    covers spans up to 16 (the production psz=8/win=16 shape)."""
+    covers spans up to 16 (the production psz=8/win=16 shape).  When
+    ``shape`` (H, W of the level image) is given, also checks that the
+    padded plane fits the packed index-word bit fields (10-bit row
+    block, 5-bit col block): wider/taller images fall back to the
+    shipped kernel instead of silently corrupting addresses."""
     span = max(psz + 3, win)
-    return prefetch_available(dtype) and _win_rows(span) == _NSHIFT
+    if not (prefetch_available(dtype) and _win_rows(span) == _NSHIFT):
+        return False
+    if shape is not None and not _geom_fits(shape, span):
+        return False
+    return True
+
+
+def _geom_fits(shape: tuple[int, int], span: int) -> bool:
+    """The plan's planes are the TWO-PHASE stack (2*Hp rows); the packed
+    index word gives the row block q = r_ex // _NSHIFT 10 bits and the
+    col block 5 bits (ADVICE r4: overflow would corrupt addresses)."""
+    Hp, Wp = _padded_geom(shape[0], shape[1], span, True)
+    return Wp // _LANES <= 32 and (2 * Hp) // _NSHIFT < 1024
 
 
 def _shift_stack(plane: jnp.ndarray, wr: int) -> jnp.ndarray:

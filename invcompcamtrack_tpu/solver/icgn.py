@@ -174,9 +174,12 @@ def _track_one_scale(level_ref, level_new, Xn, Xc_ref, uv_ref, p, cam_level,
         from invcompcamtrack_tpu.ops import patch_prefetch
 
         if cfg.gather_prefetch and patch_prefetch.supported(
-                cfg.psz, cfg.window_size, uv_ref.dtype):
+                cfg.psz, cfg.window_size, uv_ref.dtype,
+                shape=level_ref.img.shape):
             # prefetch-pipelined variant: per-point block DMA named by
-            # scalar-prefetched index words — bit-identical outputs
+            # scalar-prefetched index words — bit-identical outputs but
+            # measured 2.1x SLOWER than the shipped kernel on TPU v5e
+            # (docs/kernels.md); kept as the recorded redesign attempt
             p_img, p_dx, p_dy, qwin = (
                 patch_prefetch.gather_ref_grad_and_windows_prefetch(
                     level_ref.img, level_new.img, uv_ref, origins,

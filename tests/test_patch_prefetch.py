@@ -96,6 +96,21 @@ def test_prefetch_plan_matches_xla_gather(rng, shape, patch_norm):
                                       qp[r0:r0 + win, c0:c0 + win])
 
 
+def test_supported_rejects_oversized_geometry():
+    """The packed index word has 10 bits for the row block and 5 for
+    the col block; supported(shape=...) must reject planes that would
+    overflow them (ADVICE r4) instead of corrupting addresses."""
+    span = 16
+    assert pf._geom_fits((720, 1280), span)
+    assert not pf._geom_fits((720, 4200), span)    # col block > 31
+    assert not pf._geom_fits((12500, 1280), span)  # row block >= 1024
+    if pf.prefetch_available():
+        assert pf.supported(8, 16, shape=(720, 1280))
+        assert not pf.supported(8, 16, shape=(720, 4200))
+        # geometry mismatch (span too large for the fixed shift count)
+        assert not pf.supported(24, 32)
+
+
 def test_prefetch_handles_border_points(rng):
     """Points whose windows clip the padded-plane border must still
     decode to in-bounds blocks (the plan clips, the masks zero)."""
