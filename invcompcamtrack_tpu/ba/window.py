@@ -339,7 +339,7 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
         jnp.diagonal(Hxx, axis1=-2, axis2=-1), 1e-8
     )[..., None, :] * eyeL
 
-    if motion_only:
+    if motion_only is True:
         # landmarks FROZEN: Hxx^-1 = 0 collapses the Schur complement to
         # the pose block (W = 0, dlm = 0) — the pose-polish step of the
         # hybrid engine mode.  No spectral machinery touches the step,
@@ -347,15 +347,23 @@ def _schur_step(prob: BAProblem, damp, huber_delta: float | None = None,
         # construction (f32 eigh noise amplified by 1/lambda_min was
         # measured to poison joint steps on TPU; see docs/parity.md).
         Hxx_inv = jnp.zeros_like(Hxx)
-    elif lm_eig_floor is None:
-        Hxx_inv = sym3x3_inverse(Hxx)  # (L,3,3)
     else:
-        # closed-form Cardano eigensolver (ops/linalg.py): batched
-        # jnp.linalg.eigh lowers to an iterative Jacobi sweep whose f32
-        # noise, amplified by 1/lambda_min on near-singular blocks,
-        # poisoned joint landmark steps on TPU (parity.md deviation #8,
-        # now resolved); the analytic roots have no iteration noise.
-        Hxx_inv = sym3x3_trunc_pinv(Hxx, lm_eig_floor)
+        if lm_eig_floor is None:
+            Hxx_inv = sym3x3_inverse(Hxx)  # (L,3,3)
+        else:
+            # closed-form Cardano eigensolver (ops/linalg.py): batched
+            # jnp.linalg.eigh lowers to an iterative Jacobi sweep whose
+            # f32 noise, amplified by 1/lambda_min on near-singular
+            # blocks, poisoned joint landmark steps on TPU (parity.md
+            # deviation #8, now resolved); the analytic roots have no
+            # iteration noise.
+            Hxx_inv = sym3x3_trunc_pinv(Hxx, lm_eig_floor)
+        if not isinstance(motion_only, bool):
+            # TRACED gate (the engine's turnover-routed polish,
+            # VOConfig.polish_joint_turnover): one program serves both
+            # the joint step and the landmarks-frozen polish step
+            Hxx_inv = jnp.where(motion_only, jnp.zeros_like(Hxx_inv),
+                                Hxx_inv)
 
     # Schur complement: S = Hpp - sum_l Hpx Hxx^-1 Hxp
     W = jnp.einsum("klij,ljm->klim", Hpx, Hxx_inv, precision=_PREC)    # (K,L,6,3)

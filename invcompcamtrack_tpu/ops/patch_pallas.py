@@ -294,12 +294,14 @@ def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, psz: int,
 _VMEM_BUDGET = 11 * 1024 * 1024
 
 
-def dual_gather_fits_vmapped(H: int, W: int, win: int) -> bool:
+def dual_gather_fits_vmapped(H: int, W: int, win: int,
+                             psz: int | None = None) -> bool:
     """Would the fused dual gather's two resident planes fit VMEM when
     Mosaic double-buffers them under vmap (the multi-stream engine)?
-    Mirrors gather_ref_grad_and_windows' plane geometry; the engine
+    Mirrors gather_ref_grad_and_windows' plane geometry by construction
+    (span = max(psz + 3, win), as the kernel computes it); the engine
     flips ICGNParams.gather_split when this says no."""
-    span = win  # span = max(psz + 3, win) and win = psz + 8 > psz + 3
+    span = max((psz if psz is not None else 0) + 3, win)
     two_phase = _use_two_phase(H, W, span, n_planes=2) \
         and (win + _PHASE <= _LANES)
     Hp, Wp = _padded_geom(H, W, span, two_phase)

@@ -17,13 +17,22 @@ warning suppressed) if jax internals move.
 from __future__ import annotations
 
 import os
+import warnings
 
 _DEFAULT = "/root/.cache/jax_comp"
 
 
 def enable(path: str | None = None) -> bool:
     """Enable the persistent compilation cache regardless of platform
-    allowlist.  Returns True if the cache was switched on."""
+    allowlist.  Returns True if the cache was switched on.
+
+    Version note: relies on jax._src.compilation_cache private state
+    (``_cache_checked``/``_cache_used``/``_cache_initialized_mutex``,
+    present in jax 0.9.x).  On private-API drift the function warns
+    once and returns False — callers keep working, just without the
+    persistent cache, and the warning makes the regression visible
+    instead of silent (ADVICE r4).
+    """
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT)
     try:
         os.makedirs(path, exist_ok=True)
@@ -34,5 +43,10 @@ def enable(path: str | None = None) -> bool:
             cc._cache_used = True
         cc.set_cache_dir(path)
         return True
-    except Exception:  # private API drift — fall back to default behavior
+    except Exception as e:  # private API drift — default behavior, loudly
+        warnings.warn(
+            f"jaxcache.enable(): persistent compile cache NOT enabled "
+            f"({type(e).__name__}: {e}); jax private API may have moved — "
+            f"re-check the _cache_checked/_cache_used attribute names",
+            RuntimeWarning, stacklevel=2)
         return False

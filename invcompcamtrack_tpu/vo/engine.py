@@ -124,6 +124,24 @@ class VOConfig:
     #   plane-sweep bench scenario, ~1.3 deg mean parallax, regressed
     #   ATE 0.0048 -> 0.0149 with the parallax gate alone).  Sweep table
     #   in ACCURACY.md.  Set to 0 to disable (parallax gate only).
+    polish_joint_turnover: float = 0.0  # hybrid: landmark-turnover gate
+    #   on WHAT the fired polish does.  Turnover = (landmarks newly
+    #   triangulated this keyframe) / (live landmarks).  Above the
+    #   threshold the map is YOUNG (slots churn) and the joint polish
+    #   starts from the RAW window landmarks — the refined map is not a
+    #   long-lived asset, and joint-from-refined sits in the poses-
+    #   fixed conditional minimum whose steps LM rejects (docs/parity.md
+    #   deviation 9).  At/below it the map is MATURE (nothing newly
+    #   triangulated: a fixed or fully-covered map) and the structure-
+    #   refined landmarks ARE the asset: the polish runs MOTION-ONLY
+    #   against them instead of discarding them.  Measured (r5):
+    #   default 0.0 (mo only at exactly-zero turnover) improves BOTH
+    #   regimes — corridor-noisymap hybrid ATE 0.0218 -> 0.0198 (final
+    #   drift 2.1x better than structure) and corridor-fwd 0.1488 ->
+    #   0.1371 (the zero-seed keyframes of a full map also prefer the
+    #   refined-map polish); a looser 0.02 threshold regressed
+    #   corridor-fwd to 0.1521.  Set to -1 to disable (always
+    #   joint-from-raw, the r4 behavior).
     ba_lm_step_clip: float = 0.1  # per-BA-iteration landmark trust region,
     #                               fraction of distance to nearest camera
     ba_lm_eig_floor: float = 5e-3  # spectral observability cutoff on H_ll:
@@ -166,7 +184,10 @@ class VOConfig:
     #   size.  The ring window is rolled to chronological order, the
     #   photometric odometry measurements become per-coefficient-
     #   weighted chain factors, and the hybrid polish gate applies
-    #   unchanged.  Mutually exclusive with ba_mesh.
+    #   unchanged.  Mutually exclusive with ba_mesh.  Limitation: the
+    #   chain uses the ISOTROPIC odo_sigma_t/odo_sigma_r weights —
+    #   odo_info_weighted is ignored on this path (warned at engine
+    #   construction).
     ba_temporal_axis: str = "seq"
     ba_temporal_cg_iters: int = 48  # PCG iterations on the distributed
     #                                 reduced camera system per LM step
@@ -322,6 +343,9 @@ class _TriOut(NamedTuple):
     old_obs_mask: jnp.ndarray  # (L,)
     new_obs: jnp.ndarray       # (L, 2) new keyframe's observation row
     new_obs_mask: jnp.ndarray  # (L,)
+    n_seeded: jnp.ndarray      # () int32: landmarks newly triangulated
+    #                            this keyframe (the turnover statistic
+    #                            behind polish_joint_turnover)
 
 
 def _promote_reobserve(state: VOState, pyr: Pyramid, p_new,
@@ -447,7 +471,8 @@ def _promote_triangulate(state: VOState, pyr: Pyramid, p_new,
     return _TriOut(landmarks=landmarks, lm_valid=lm_valid, lm_fail=lm_fail,
                    old_slot=old_slot, old_obs=old_obs,
                    old_obs_mask=old_obs_mask, new_obs=new_obs,
-                   new_obs_mask=new_obs_mask)
+                   new_obs_mask=new_obs_mask,
+                   n_seeded=jnp.sum(seeded).astype(jnp.int32))
 
 
 def _joint_ba_temporal(cfg: VOConfig, prob: BAProblem, kf_rel,
@@ -743,6 +768,18 @@ def _promote_commit(state: VOState, pyr: Pyramid, p_new,
             # valley rejection cannot occur — polish against the
             # REFINED map (the better pose target).
             joint_prob = prob._replace(landmarks=lms) if mo else prob
+            if (cfg.ba_mode == "hybrid" and not mo
+                    and cfg.polish_joint_turnover >= 0.0):
+                # turnover routing (polish_joint_turnover): a MATURE map
+                # (no slot churn) keeps the structure-refined landmarks
+                # and polishes motion-only against them; a YOUNG map
+                # runs joint-from-raw.  `mo` becomes a TRACED gate — the
+                # solvers zero the landmark step under it.
+                turnover = tri.n_seeded.astype(lms.dtype) / jnp.maximum(
+                    jnp.sum(lm_valid).astype(lms.dtype), 1.0)
+                mo = turnover <= cfg.polish_joint_turnover
+                joint_prob = prob._replace(
+                    landmarks=jnp.where(mo, lms, prob.landmarks))
             if cfg.ba_temporal_mesh is not None:
                 # long-window product path: keyframe-sharded SP solve
                 poses_j, lms_j, (ej, ej0) = _joint_ba_temporal(
@@ -911,7 +948,7 @@ class VisualOdometryBatch:
                 dual_gather_fits_vmapped)
             H0, W0 = engines[0].state.kf_pyr[0].img.shape[-2:]
             if not dual_gather_fits_vmapped(int(H0), int(W0),
-                                            tr.window_size):
+                                            tr.window_size, psz=tr.psz):
                 cfg0 = dataclasses.replace(
                     cfg0, tracker=dataclasses.replace(tr, gather_split=True))
         self.cfg = cfg0
@@ -995,6 +1032,19 @@ class VisualOdometry:
         self.state: Optional[VOState] = None
         self.trajectory: list[np.ndarray] = []
         self._frame_idx = 0  # host mirror for the keyframe cadence
+        if self.cfg.odo_info_weighted and \
+                self.cfg.ba_temporal_mesh is not None:
+            # the temporal (keyframe-sharded) chain carries isotropic
+            # per-coefficient weights only; the per-factor photometric
+            # Fisher information is not threaded through it yet (ADVICE
+            # r4) — warn instead of silently dropping the option
+            import warnings
+            warnings.warn(
+                "odo_info_weighted is ignored on the ba_temporal_mesh "
+                "path: the temporal chain uses the isotropic "
+                "odo_sigma_t/odo_sigma_r weights (per-factor (K, 6) "
+                "information weighting is not implemented there)",
+                RuntimeWarning, stacklevel=2)
 
         c, cf = cam, self.cfg
         self._jit_pyr = jax.jit(
