@@ -309,6 +309,49 @@ def bench_engine():
     return fps, ate, dispatches_per_frame
 
 
+def bench_noisymap_gain(n_frames=80):
+    """Refinement-gain tripwire (VERDICT r4 ask #4): the fixed-noisymap
+    lateral scenario — the reference's own with/without-refinement A/B
+    (misc_src/pose_tracking_acc.txt) — must keep a DECISIVE separation.
+    Reuses the committed accuracy driver's scenario (seed noise 0.25,
+    gates opened, observability floor at the scenario's error scale) at
+    half length.  Measured at full length: ATE 5.8x, map RMS 11.3x;
+    the floors below (2x / 3x) would catch the eig-floor regression
+    that capped r4 at 1.4x, with margin for the shorter run."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "acc_log", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "examples", "run_accuracy_log.py"))
+    acc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(acc)
+    from invcompcamtrack_tpu.vo import synthetic
+
+    rng = np.random.default_rng(0)
+    plane = synthetic.make_scene(rng, wh=(640, 480), fc=(520.0, 525.0),
+                                 z0=8.0, freq_range=(0.5, 6.0))
+    ov = {"min_parallax_px": 1e9, "max_obs_fail": 10 ** 6,
+          "reobs_gate_px": 48.0, "ba_obs_gate_px": 48.0,
+          "ba_lm_eig_floor": 1e-4}
+    path = acc.path_sweep_local(n_frames)
+    sample = lambda s, r, n: synthetic.sample_plane_points(s, r, n,
+                                                           margin=24)
+    imgs = [acc.synthetic.render(plane, acc._exp(p)) for p in path]
+    rows = {}
+    for mode in ("off", "structure"):
+        rows[mode] = acc.run_sequence(
+            "bench-noisymap", plane, acc.synthetic.render, sample, path,
+            mode, imgs=imgs, seed_noise=0.25, cfg_overrides=ov)
+    ate_gain = rows["off"]["ate_rmse"] / max(rows["structure"]["ate_rmse"],
+                                             1e-9)
+    rms_gain = (rows["off"]["map_surface_rms"]
+                / max(rows["structure"]["map_surface_rms"], 1e-9))
+    assert ate_gain > 2.0, f"noisymap ATE gain regressed: {ate_gain:.2f}x"
+    assert rms_gain > 3.0, f"noisymap map-RMS gain regressed: {rms_gain:.2f}x"
+    return {"noisymap_ate_gain": round(ate_gain, 2),
+            "noisymap_maprms_gain": round(rms_gain, 2)}
+
+
 def main():
     pairs_per_s, roofline = bench_solver()
     extra = dict(roofline)
@@ -326,6 +369,10 @@ def main():
             bench_engine_streams(n_streams), 2)
     except Exception as e:
         extra["engine_streams_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extra.update(bench_noisymap_gain())  # refinement-gain tripwire
+    except Exception as e:
+        extra["noisymap_gain_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         from bench_kernels import bench_collective_latency
         extra.update(bench_collective_latency())  # measured model constants

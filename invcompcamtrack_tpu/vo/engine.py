@@ -147,7 +147,16 @@ class VOConfig:
     ba_lm_eig_floor: float = 5e-3  # spectral observability cutoff on H_ll:
     #   eigen-directions below this fraction of lambda_max (an along-ray
     #   direction has lambda ~ (baseline/depth)^2 of the cross-ray ones)
-    #   get NO update — depth refines only once baseline/depth >~ 7%
+    #   get NO update — depth refines only once baseline/depth >~ 7%.
+    #   Tradeoff (measured, r5): the floor exists to stop ray-sliding on
+    #   LIVE triangulated maps (whose depth error is proportional to
+    #   observability), but it also refuses to correct an EXTERNALLY
+    #   injected depth error until the window accumulates that baseline
+    #   — on the fixed-noisymap scenario it capped point refinement at
+    #   1.4x until opened to 1e-4 (map RMS 0.23 -> 0.029 at the same
+    #   frame budget; ACCURACY.md noisymap rows).  Pipelines that load
+    #   maps from external sources (NVM replay, noisy priors) should
+    #   lower it.
     odo_prior: bool = True       # full mode: fuse the photometric
     #   odometer's relative poses as prior factors between consecutive
     #   keyframes, so joint BA can never drag a pose below pure-odometry
