@@ -70,22 +70,19 @@ class VOPipelineSpec(NamedTuple):
 
     stage_fns: tuple
     carrier_size: int
-    seg_state: _Seg
     seg_pose: _Seg
     seg_frame: _Seg
+    pack_state_fn: object    # (carrier, VOState) -> carrier
+    unpack_state_fn: object  # carrier -> VOState
 
     def pack_init(self, state: VOState) -> jnp.ndarray:
         """Carrier holding a bootstrapped stream state (frame injected
         by the combinator at stage-0 ingestion)."""
-        flat, _ = ravel_pytree(state)
         buf = jnp.zeros((self.carrier_size,), jnp.float32)
-        return jax.lax.dynamic_update_slice(
-            buf, flat.astype(jnp.float32), (self.seg_state.off,))
+        return self.pack_state_fn(buf, state)
 
     def unpack_state(self, buf) -> VOState:
-        s = self.seg_state
-        seg = jax.lax.dynamic_slice(buf, (s.off,), (s.size,))
-        return s.unravel(seg.astype(s.dtype))
+        return self.unpack_state_fn(buf)
 
     def unpack_pose(self, buf) -> jnp.ndarray:
         s = self.seg_pose
@@ -102,21 +99,35 @@ def _zeros_of(shapes):
 
 
 def make_vo_pipeline(cam: CameraPyramid, cfg: VOConfig, wh,
-                     dtype=jnp.float32) -> VOPipelineSpec:
+                     dtype=jnp.float32,
+                     slim_carrier: bool = True) -> VOPipelineSpec:
     """Build the carrier layout and the four stage bodies for image size
     ``wh`` = (W, H).  The pipelined engine promotes EVERY frame
-    (keyframe_stride must be 1: each microbatch is one keyframe step)."""
+    (keyframe_stride must be 1: each microbatch is one keyframe step).
+
+    ``slim_carrier`` (the default) ships the K keyframe FRAMES instead
+    of their pyramid stacks, and no current-frame pyramid segment at
+    all: every stage rebuilds the pyramids it needs at entry.  This is
+    bit-exact — ``build_pyramid`` is deterministic and a pyramid's
+    level-0 interior IS the edge-padded source frame — and shrinks the
+    720p K=5 carrier ~4.5x (96.7 MB -> 21.7 MB, docs/architecture.md
+    §7), the identified slimming for the off-chip/DCN regimes where PP
+    earns its keep.  Cost: one batched (K+1)-pyramid rebuild per stage,
+    pure recompute with zero wire bytes.  ``slim_carrier=False`` keeps
+    the round-3 pyramids-on-the-ring layout for A/B measurement."""
     if cfg.keyframe_stride != 1:
         raise ValueError("pipelined VO requires keyframe_stride=1 "
                          "(one keyframe step per microbatch)")
     cfgt = cfg.tracker
     H, W = int(wh[1]), int(wh[0])
+    K = cfg.window
+    psz = cfgt.psz
 
     # --- example trees (zeros) -> segment sizes + unravel closures ---
     state_ex = make_empty_state(cfg, wh, dtype)
     img_ex = jnp.zeros((H, W), dtype)
     pyr_ex = _zeros_of(jax.eval_shape(
-        lambda i: build_pyramid(i, cfgt.num_levels, cfgt.psz), img_ex))
+        lambda i: build_pyramid(i, cfgt.num_levels, psz), img_ex))
     p_ex = jnp.zeros((6,), dtype)
     ro_ex = _zeros_of(jax.eval_shape(
         lambda s, py, p: _promote_reobserve(s, py, p, cam, cfg),
@@ -125,17 +136,23 @@ def make_vo_pipeline(cam: CameraPyramid, cfg: VOConfig, wh,
         lambda s, py, p, r: _promote_triangulate(s, py, p, cam, cfg, r),
         state_ex, pyr_ex, p_ex, ro_ex))
 
-    f_state, unr_state = ravel_pytree(state_ex)
+    # slim: the state segment raveled WITHOUT the kf pyramid stacks
+    # (kf_pyr=() is a zero-leaf pytree); frames ride in their own segment
+    state_ravel_ex = state_ex._replace(kf_pyr=()) if slim_carrier \
+        else state_ex
+    f_state, unr_state = ravel_pytree(state_ravel_ex)
     f_pyr, unr_pyr = ravel_pytree(pyr_ex)
     f_ro, unr_ro = ravel_pytree(ro_ex)
     f_tri, unr_tri = ravel_pytree(tri_ex)
     n_state, n_pyr = f_state.size, f_pyr.size
     n_extra = max(f_ro.size, f_tri.size)
     n_frame = H * W
+    n_kff = K * H * W if slim_carrier else 0
 
     off_state = 0
-    off_pyr = n_state
-    off_pose = off_pyr + n_pyr
+    off_kff = n_state                      # slim only (n_kff = 0 otherwise)
+    off_pyr = off_kff + n_kff              # fat only (segment absent in slim)
+    off_pose = off_pyr + (0 if slim_carrier else n_pyr)
     off_extra = off_pose + 6
     off_frame = off_extra + n_extra
     size = off_frame + n_frame
@@ -148,9 +165,25 @@ def make_vo_pipeline(cam: CameraPyramid, cfg: VOConfig, wh,
             buf, flat.astype(jnp.float32), (off,))
 
     def u_state(buf):
-        return unr_state(get(buf, off_state, n_state).astype(f_state.dtype))
+        st = unr_state(get(buf, off_state, n_state).astype(f_state.dtype))
+        if slim_carrier:
+            kff = get(buf, off_kff, n_kff).reshape(K, H, W).astype(dtype)
+            st = st._replace(
+                kf_pyr=tuple(build_pyramid(kff, cfgt.num_levels, psz)))
+        return st
+
+    def pack_state(buf, st: VOState):
+        if slim_carrier:
+            # level-0 interior == the source frame (pad_level edge-pads)
+            kff = st.kf_pyr[0].img[:, psz:-psz, psz:-psz]
+            buf = put(buf, off_kff, kff.reshape(-1))
+            st = st._replace(kf_pyr=())
+        return put(buf, off_state, ravel_pytree(st)[0])
 
     def u_pyr(buf):
+        if slim_carrier:
+            img = get(buf, off_frame, n_frame).reshape(H, W).astype(dtype)
+            return build_pyramid(img, cfgt.num_levels, psz)
         return unr_pyr(get(buf, off_pyr, n_pyr).astype(f_pyr.dtype))
 
     def u_pose(buf):
@@ -161,9 +194,10 @@ def make_vo_pipeline(cam: CameraPyramid, cfg: VOConfig, wh,
     def stage_track(buf):
         state = u_state(buf)
         img = get(buf, off_frame, n_frame).reshape(H, W).astype(dtype)
-        pyr = build_pyramid(img, cfgt.num_levels, cfgt.psz)
+        pyr = build_pyramid(img, cfgt.num_levels, psz)
         p_new = _track_frame(state, pyr, cam, cfgt)
-        buf = put(buf, off_pyr, ravel_pytree(pyr)[0])
+        if not slim_carrier:
+            buf = put(buf, off_pyr, ravel_pytree(pyr)[0])
         return put(buf, off_pose, p_new)
 
     def stage_reobserve(buf):
@@ -186,16 +220,17 @@ def make_vo_pipeline(cam: CameraPyramid, cfg: VOConfig, wh,
         tri = unr_tri(get(buf, off_extra, f_tri.size).astype(f_tri.dtype))
         st2 = _promote_commit(state, u_pyr(buf), u_pose(buf), cam, cfg, tri)
         st2 = st2._replace(frame_idx=state.frame_idx + 1)
-        buf = put(buf, off_state, ravel_pytree(st2)[0])
+        buf = pack_state(buf, st2)
         return put(buf, off_pose, st2.cur_pose)
 
     return VOPipelineSpec(
         stage_fns=(stage_track, stage_reobserve, stage_triangulate,
                    stage_commit),
         carrier_size=size,
-        seg_state=_Seg(off_state, n_state, unr_state, f_state.dtype),
         seg_pose=_Seg(off_pose, 6, None, dtype),
         seg_frame=_Seg(off_frame, n_frame, None, dtype),
+        pack_state_fn=pack_state,
+        unpack_state_fn=u_state,
     )
 
 

@@ -141,3 +141,15 @@ def test_vo_real_chain_pipeline_matches_sequential_engine(rng):
                                seq_final_lms, atol=2e-4)
     assert np.array_equal(np.asarray(finals[3].lm_valid), seq_final_valid)
     assert pp_ring_bytes_per_step(spec) > 0
+
+    # slim-carrier round trip: the default spec ships kf FRAMES and
+    # rebuilds pyramids at unpack; strip+rebuild must be IDENTITY on a
+    # real bootstrapped state (pyramids are deterministic functions of
+    # their level-0 interiors), and the carrier must be materially
+    # smaller than the pyramids-on-the-ring layout
+    spec_fat = make_vo_pipeline(cam, cfg, wh, slim_carrier=False)
+    assert spec.carrier_size < 0.55 * spec_fat.carrier_size
+    st = init_states[0]
+    rt = spec.unpack_state(spec.pack_init(st))
+    for a, b in zip(jax.tree.leaves(st), jax.tree.leaves(rt)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
